@@ -1,0 +1,71 @@
+"""Centralized typed configuration and framework-wide constants.
+
+The reference scatters these constants across ~10 files (e.g.
+``librispeech-mimi/utils.py:13-15``, ``pretraining-data/
+prepare_pretraining_data.py:79-86``, ``mls-en-mimi-pretrain/process_shard.py:33``);
+here they live in exactly one place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping
+
+# --- Codec rate facts (reference: yodas2-mimi/process_shard.py:266-270) ---
+MIMI_SAMPLE_RATE: int = 24_000
+FRAME_RATE: float = 12.5
+SAMPLES_PER_FRAME: int = int(MIMI_SAMPLE_RATE / FRAME_RATE)  # 1920
+
+# --- Code<->unicode mapping (reference: librispeech-mimi/utils.py:13-15,
+#     pretraining-data/converter.py:11-15) ---
+UNICODE_OFFSET: int = 0x4E00  # Acoustic-BPE paper offset (Shen et al., 2024)
+UNICODE_OFFSET_LARGE: int = 0xE000  # private use area; production offset
+NUM_CODEBOOKS: int = 8
+CODEBOOK_SIZE: int = 2048
+
+# --- Interleaved pretraining document special tokens
+#     (reference: pretraining-data/prepare_pretraining_data.py:79-86) ---
+SPECIAL_TOKENS: Mapping[str, str] = {
+    "bos": "<|begin_of_text|>",
+    "eos": "<|end_of_text|>",
+    "text_start": "<|text_start|>",
+    "text_end": "<|text_end|>",
+    "audio_start": "<|audio_start|>",
+    "audio_end": "<|audio_end|>",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Configuration of the code<->text codec layer."""
+
+    num_codebooks: int = NUM_CODEBOOKS
+    codebook_size: int = CODEBOOK_SIZE
+    unicode_offset: int = UNICODE_OFFSET_LARGE
+
+    @property
+    def vocab_range(self) -> tuple[int, int]:
+        lo = self.unicode_offset
+        return lo, lo + self.num_codebooks * self.codebook_size
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Configuration of the batch encoding engine.
+
+    ``max_chunk_seconds`` mirrors the reference's 60 s split policy
+    (yodas2-mimi/process_shard.py:292,436-493).  ``bucket_growth`` controls
+    the geometric length-bucket lattice: static shapes keep XLA from
+    recompiling and keep the MXU tiled.
+    """
+
+    batch_size: int = 16
+    max_chunk_seconds: float = 60.0
+    min_bucket_seconds: float = 1.0
+    bucket_growth: float = 1.25
+    sample_rate: int = MIMI_SAMPLE_RATE
+    num_codebooks: int = NUM_CODEBOOKS
+
+    @property
+    def max_chunk_samples(self) -> int:
+        return int(self.max_chunk_seconds * self.sample_rate)

@@ -1,0 +1,111 @@
+"""Golden tests for the DSP layer: resampler vs scipy.signal.resample_poly,
+PCM conversion, framing/bucketing invariants."""
+
+import numpy as np
+import pytest
+from scipy.signal import resample_poly
+
+from tokenize_audio_tpu.core.audio import (
+    bucket_for_length,
+    encoded_frame_count,
+    make_buckets,
+    pad_to_bucket,
+    pcm_to_float,
+    resample,
+    resample_output_length,
+    split_long_audio,
+)
+
+
+@pytest.mark.parametrize(
+    "orig_sr,target_sr",
+    [
+        (16_000, 24_000),  # MLS (mls-en-mimi-pretrain/process_shard.py:302-304)
+        (48_000, 24_000),  # Common Voice (process_common_voice.py:231-232)
+        (22_050, 24_000),
+        (44_100, 24_000),
+        (8_000, 24_000),
+    ],
+)
+def test_resample_matches_scipy(rng, orig_sr, target_sr):
+    # short signals: CPU lowering of dilated convs is slow; TPU is benched separately
+    t = np.arange(int(orig_sr * 0.11)) / orig_sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(t.size)).astype(
+        np.float32
+    )
+    import math
+
+    g = math.gcd(orig_sr, target_sr)
+    golden = resample_poly(x.astype(np.float64), target_sr // g, orig_sr // g)
+    got = np.asarray(resample(x, orig_sr, target_sr))
+    assert got.shape == golden.shape
+    scale = np.abs(golden).max()
+    np.testing.assert_allclose(got, golden, atol=2e-5 * scale, rtol=0)
+
+
+def test_resample_batch_and_identity(rng):
+    x = rng.standard_normal((3, 1600)).astype(np.float32)
+    y = np.asarray(resample(x, 16_000, 24_000))
+    assert y.shape == (3, 2400)
+    # each row matches the single-row path
+    single = np.asarray(resample(x[1], 16_000, 24_000))
+    np.testing.assert_allclose(y[1], single, atol=1e-6)
+    # same-rate passthrough
+    np.testing.assert_array_equal(np.asarray(resample(x, 24_000, 24_000)), x)
+
+
+def test_resample_output_length():
+    assert resample_output_length(1600, 3, 2) == 2400
+    assert resample_output_length(1601, 3, 2) == 2402  # ceil
+    assert resample_output_length(480, 1, 2) == 240
+
+
+def test_pcm_to_float():
+    assert pcm_to_float(np.array([0, 16384, -32768], dtype=np.int16)).tolist() == [
+        0.0,
+        0.5,
+        -1.0,
+    ]
+    assert pcm_to_float(np.array([128], dtype=np.uint8)).tolist() == [0.0]
+    x = np.array([0.25], dtype=np.float64)
+    assert pcm_to_float(x).dtype == np.float32
+
+
+def test_encoded_frame_count():
+    assert encoded_frame_count(1920) == 1
+    assert encoded_frame_count(1921) == 2
+    assert encoded_frame_count(24_000 * 60) == 750
+    np.testing.assert_array_equal(
+        encoded_frame_count(np.array([1, 1920, 3841])), [1, 1, 3]
+    )
+
+
+def test_buckets_frame_aligned():
+    buckets = make_buckets(1.0, 60.0, 1.25)
+    assert all(b % 1920 == 0 for b in buckets)
+    assert buckets == tuple(sorted(set(buckets)))
+    assert buckets[-1] == 24_000 * 60
+    assert bucket_for_length(1, buckets) == buckets[0]
+    assert bucket_for_length(buckets[2], buckets) == buckets[2]
+    assert bucket_for_length(buckets[2] + 1, buckets) == buckets[3]
+    # over-cap clips to the top bucket (callers split first)
+    assert bucket_for_length(10**9, buckets) == buckets[-1]
+
+
+def test_pad_to_bucket(rng):
+    utts = [rng.standard_normal(n).astype(np.float32) for n in (100, 250)]
+    batch, lengths = pad_to_bucket(utts, 300)
+    assert batch.shape == (2, 300)
+    assert lengths.tolist() == [100, 250]
+    np.testing.assert_array_equal(batch[0, 100:], 0)
+    np.testing.assert_array_equal(batch[1, :250], utts[1])
+    with pytest.raises(ValueError, match="exceeds bucket"):
+        pad_to_bucket([np.zeros(301)], 300)
+
+
+def test_split_long_audio():
+    x = np.arange(5000)
+    parts = split_long_audio(x, 1920)
+    assert [len(p) for p in parts] == [1920, 1920, 1160]
+    np.testing.assert_array_equal(np.concatenate(parts), x)
+    assert split_long_audio(x[:100], 1920)[0] is x[:100] or len(split_long_audio(x[:100], 1920)) == 1

@@ -1,0 +1,316 @@
+"""Functional JAX Mimi encoder (and RVQ) — the TPU compute core.
+
+Re-implements the encode path of ``transformers`` Mimi (the model the
+reference drives at yodas2-mimi/process_shard.py:185-274) as pure functions
+over a param pytree:
+
+    raw 24 kHz audio (B, T)
+      -> SEANet causal conv stack   (strides 4,5,6,8 -> 25 Hz, ELU, resnets)
+      -> 8-layer RoPE transformer   (d=512, 8 heads, LayerScale, full causal)
+      -> stride-2 causal conv       (25 -> 12.5 Hz, replicate padding)
+      -> split residual VQ          (1 semantic + N acoustic, codebook 2048)
+      -> codes (B, K, T/1920)
+
+Exactness contract: with float32 params and ``precision=HIGHEST`` the
+emitted code indices match HF ``MimiModel.encode`` (fp32) at every codebook
+level; tests/test_mimi_parity.py pins this per layer and end to end.
+
+Padding semantics (``valid`` lengths): HF encodes a padded batch with *no*
+masking between layers, so an utterance's codes depend on its batch's pad
+length (modeling_mimi.py:1442-1471 TODO notes this). Here, masked mode
+(default) tracks per-row valid lengths and re-creates each layer's exact
+standalone right-padding (zeros for constant-pad convs, replicated edge for
+the 25->12.5 Hz downsample), making codes for any utterance bit-identical
+to its standalone unpadded encode regardless of bucket or batch — a
+determinism upgrade over the reference. ``masked=False`` reproduces HF
+pad-to-length batch semantics instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenize_audio_tpu.mimi.config import MimiConfig
+
+Params = Dict[str, Any]
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Causal conv primitive
+# ---------------------------------------------------------------------------
+
+def causal_conv1d(
+    x: jax.Array,
+    valid: Optional[jax.Array],
+    w: jax.Array,
+    b: Optional[jax.Array],
+    stride: int = 1,
+    dilation: int = 1,
+    pad_mode: str = "constant",
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Causal Conv1d matching transformers MimiConv1d (modeling_mimi.py:204-341).
+
+    x: (B, C, T); w: (O, I, K) in HF layout; returns ((B, O, T//stride), new valid).
+
+    Left pad = (K_eff - stride); standalone right "extra" pad is re-created
+    per row from ``valid`` (see module docstring). T must be divisible by
+    stride (bucket lengths are multiples of samples_per_frame, so every
+    intermediate length divides evenly).
+    """
+    k_eff = (w.shape[-1] - 1) * dilation + 1
+    pad_total = k_eff - stride
+    t = x.shape[-1]
+    if t % stride != 0:
+        raise ValueError(f"length {t} not divisible by stride {stride}")
+
+    new_valid = None
+    if valid is not None:
+        new_valid = -(-valid // stride)  # ceil
+        if stride > 1 and pad_mode == "replicate":
+            # standalone extra right padding replicates the last valid sample
+            extra = new_valid * stride - valid  # in [0, stride)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+            v = valid[:, None, None]
+            last = jnp.take_along_axis(x, jnp.maximum(v - 1, 0), axis=2)  # (B,C,1)
+            x = jnp.where((pos >= v) & (pos < v + extra[:, None, None]), last, x)
+        # constant-pad layers need nothing: the masked invariant keeps
+        # positions >= valid at exactly the zeros standalone padding uses.
+
+    if pad_mode == "constant":
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad_total, 0)))
+    elif pad_mode == "replicate":
+        left = jnp.repeat(x[:, :, :1], pad_total, axis=2)
+        x = jnp.concatenate([left, x], axis=2)
+    else:
+        raise ValueError(f"unsupported pad_mode {pad_mode}")
+
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HIGHEST,
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    if new_valid is not None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, y.shape[-1]), 2)
+        y = jnp.where(pos < new_valid[:, None, None], y, 0.0)
+    return y, new_valid
+
+
+def _elu(x: jax.Array) -> jax.Array:
+    # nn.ELU(alpha=1.0); ELU(0) == 0 preserves the masked invariant.
+    return jnp.where(x > 0, x, jnp.expm1(x))
+
+
+# ---------------------------------------------------------------------------
+# SEANet encoder
+# ---------------------------------------------------------------------------
+
+def seanet_encode(
+    params: Params, cfg: MimiConfig, x: jax.Array, valid: Optional[jax.Array]
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """(B, 1, T) audio -> (B, hidden, T/prod(ratios)) at 25 Hz.
+    Mirrors transformers MimiEncoder (modeling_mimi.py:444-486)."""
+    x, valid = causal_conv1d(
+        x, valid, params["enc_in"]["w"], params["enc_in"]["b"], pad_mode=cfg.pad_mode
+    )
+    for block, stride in zip(params["blocks"], cfg.encoder_strides):
+        for j, res in enumerate(block["res"]):
+            residual = x
+            h = _elu(x)
+            h, _ = causal_conv1d(
+                h,
+                valid,
+                res["c1"]["w"],
+                res["c1"]["b"],
+                dilation=cfg.dilation_growth_rate**j,
+                pad_mode=cfg.pad_mode,
+            )
+            h = _elu(h)
+            h, _ = causal_conv1d(h, valid, res["c2"]["w"], res["c2"]["b"], pad_mode=cfg.pad_mode)
+            x = residual + h
+        x = _elu(x)
+        x, valid = causal_conv1d(
+            x, valid, block["down"]["w"], block["down"]["b"], stride=stride, pad_mode=cfg.pad_mode
+        )
+    x = _elu(x)
+    x, valid = causal_conv1d(
+        x, valid, params["enc_out"]["w"], params["enc_out"]["b"], pad_mode=cfg.pad_mode
+    )
+    return x, valid
+
+
+# ---------------------------------------------------------------------------
+# Transformer bottleneck
+# ---------------------------------------------------------------------------
+
+def _rope_tables(cfg: MimiConfig, t: int) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables in float32, matching MimiRotaryEmbedding
+    (modeling_mimi.py:505-538): inv_freq over even dims, emb = [freqs, freqs]."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    pos = jnp.arange(t, dtype=jnp.float32)
+    freqs = pos[:, None] * inv_freq[None, :]  # (T, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (T, hd)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _attention_mask(cfg: MimiConfig, t: int) -> jax.Array:
+    """Additive float mask. Full causal by default (what HF actually builds —
+    see MimiConfig.use_sliding_window note); optional sliding window."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    allowed = j <= i
+    if cfg.use_sliding_window:
+        allowed &= j > i - cfg.sliding_window
+    neg = jnp.finfo(jnp.float32).min  # HF uses finfo.min, not -inf
+    return jnp.where(allowed, 0.0, neg).astype(jnp.float32)
+
+
+def transformer_apply(params: Params, cfg: MimiConfig, h: jax.Array) -> jax.Array:
+    """(B, T, C) -> (B, T, C). Mirrors MimiTransformerModel with eager
+    attention (modeling_mimi.py:608-703, 922-994): pre-LN, RoPE, fp32
+    softmax, LayerScale residuals, bias-free projections, erf GELU MLP."""
+    b, t, c = h.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    cos, sin = _rope_tables(cfg, t)
+    cos_b = cos[None, None, :, :]
+    sin_b = sin[None, None, :, :]
+    mask = _attention_mask(cfg, t)[None, None, :, :]
+
+    for lp in params:
+        x = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
+        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=_HIGHEST)
+        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=_HIGHEST)
+        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=_HIGHEST)
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        q = q * cos_b + _rotate_half(q) * sin_b
+        k = k * cos_b + _rotate_half(k) * sin_b
+        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HIGHEST) * scale
+        aw = aw + mask
+        aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1)
+        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v, precision=_HIGHEST)
+        att = att.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=_HIGHEST)
+        h = h + lp["ls1"] * att
+
+        x = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
+        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=_HIGHEST)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=_HIGHEST)
+        h = h + lp["ls2"] * x
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Residual vector quantization
+# ---------------------------------------------------------------------------
+
+def rvq_quantize(residual: jax.Array, embeds: jax.Array) -> jax.Array:
+    """Chained nearest-centroid search.
+
+    residual: (B, T, D); embeds: (n_books, V, D) — already normalized
+    embed_sum/cluster_usage (MimiEuclideanCodebook.embed property,
+    modeling_mimi.py:1198-1209). Returns codes (B, n_books, T).
+
+    Distance = ||x||^2 - 2 x.e + ||e||^2, the same mm-based expansion
+    torch.cdist uses for these sizes, so argmin tie behavior (first index
+    wins) lines up with the reference.
+    """
+    codes = []
+    for i in range(embeds.shape[0]):
+        e = embeds[i]  # (V, D)
+        x2 = jnp.sum(jnp.square(residual), axis=-1, keepdims=True)  # (B,T,1)
+        e2 = jnp.sum(jnp.square(e), axis=-1)  # (V,)
+        xe = jnp.einsum("btd,vd->btv", residual, e, precision=_HIGHEST)
+        d2 = x2 - 2.0 * xe + e2[None, None, :]
+        idx = jnp.argmin(d2, axis=-1)  # (B, T)
+        codes.append(idx)
+        residual = residual - e[idx]
+    return jnp.stack(codes, axis=1)
+
+
+def split_rvq_encode(
+    params: Params, emb: jax.Array, num_quantizers: int
+) -> jax.Array:
+    """(B, hidden, T) -> codes (B, K, T).
+    Mirrors MimiSplitResidualVectorQuantizer.encode (modeling_mimi.py:1318-1345):
+    semantic RVQ on the projected embeddings, acoustic RVQ *also on the
+    original embeddings* (not the semantic residual)."""
+    x = emb.transpose(0, 2, 1)  # (B, T, hidden)
+    sem = params["semantic"]
+    n_sem = sem["embed"].shape[0]
+    sem_in = jnp.einsum("btc,dc->btd", x, sem["in_proj"], precision=_HIGHEST)
+    codes = rvq_quantize(sem_in, sem["embed"][: min(n_sem, num_quantizers)])
+    n_ac = num_quantizers - codes.shape[1]
+    if n_ac > 0:
+        ac = params["acoustic"]
+        ac_in = jnp.einsum("btc,dc->btd", x, ac["in_proj"], precision=_HIGHEST)
+        ac_codes = rvq_quantize(ac_in, ac["embed"][:n_ac])
+        codes = jnp.concatenate([codes, ac_codes], axis=1)
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# Full encode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_quantizers", "masked")
+)
+def encode(
+    params: Params,
+    cfg: MimiConfig,
+    audio: jax.Array,
+    valid: Optional[jax.Array] = None,
+    num_quantizers: int = 8,
+    masked: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Encode (B, T) float32 audio -> (codes (B, K, T/1920) int32, frame valid).
+
+    Equivalent of HF ``model.encode(input_values, padding_mask).audio_codes``
+    restricted to the first ``num_quantizers`` codebooks (the reference keeps
+    8: mls-en-mimi-pretrain/process_shard.py:33). ``valid`` are per-row
+    sample counts; pass None (or masked=False) for HF pad-to-length
+    semantics.
+    """
+    x = audio[:, None, :].astype(jnp.float32)
+    if not masked:
+        valid = None
+    x, valid = seanet_encode(params, cfg, x, valid)
+    h = transformer_apply(params["tfm"], cfg, x.transpose(0, 2, 1))
+    x = h.transpose(0, 2, 1)
+    if valid is not None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
+        x = jnp.where(pos < valid[:, None, None], x, 0.0)
+    x, valid = causal_conv1d(
+        x, valid, params["downsample"]["w"], None, stride=2, pad_mode="replicate"
+    )
+    codes = split_rvq_encode(params["rvq"], x, num_quantizers)
+    return codes.astype(jnp.int32), valid

@@ -1,0 +1,159 @@
+"""HF checkpoint -> JAX param pytree conversion.
+
+Consumes a ``transformers`` Mimi state dict — from a live ``MimiModel``, a
+``.safetensors`` file (e.g. the published ``kyutai/mimi`` checkpoint), or a
+plain ``{name: ndarray}`` mapping — and emits the pytree consumed by
+``tokenize_audio_tpu.mimi.model``. Codebook embeddings are materialized as
+``embed_sum / clamp(cluster_usage, eps)`` exactly like the lazy ``embed``
+property (transformers modeling_mimi.py:1198-1209).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from tokenize_audio_tpu.mimi.config import MimiConfig
+
+_CODEBOOK_EPS = 1e-5
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv(sd: Mapping[str, Any], prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    out = {"w": _np(sd[f"{prefix}.weight"])}
+    out["b"] = _np(sd[f"{prefix}.bias"]) if bias else None
+    return out
+
+
+def _rvq(sd: Mapping[str, Any], prefix: str, n_books: int) -> Dict[str, np.ndarray]:
+    embeds = []
+    for i in range(n_books):
+        base = f"{prefix}.layers.{i}.codebook"
+        usage = _np(sd[f"{base}.cluster_usage"])
+        embed_sum = _np(sd[f"{base}.embed_sum"])
+        embeds.append(embed_sum / np.maximum(usage, _CODEBOOK_EPS)[:, None])
+    return {
+        "in_proj": _np(sd[f"{prefix}.input_proj.weight"])[:, :, 0],  # (D, hidden, 1)
+        "out_proj": _np(sd[f"{prefix}.output_proj.weight"])[:, :, 0],
+        "embed": np.stack(embeds, axis=0),  # (n_books, V, D)
+    }
+
+
+def convert_hf_state_dict(
+    sd: Mapping[str, Any], cfg: MimiConfig | None = None
+) -> Dict[str, Any]:
+    """Build the encoder param pytree from an HF Mimi state dict.
+
+    Layer indices follow transformers MimiEncoder construction
+    (modeling_mimi.py:444-478): conv_in at layers.0, then per downsample
+    ratio ``num_residual_layers`` resnet blocks + ELU + strided conv, then a
+    final ELU + conv_out.
+    """
+    cfg = cfg or MimiConfig()
+    n_res = cfg.num_residual_layers
+    params: Dict[str, Any] = {}
+    params["enc_in"] = _conv(sd, "encoder.layers.0.conv")
+
+    blocks = []
+    idx = 1
+    for stride in cfg.encoder_strides:
+        res = []
+        for j in range(n_res):
+            res.append(
+                {
+                    "c1": _conv(sd, f"encoder.layers.{idx + j}.block.1.conv"),
+                    "c2": _conv(sd, f"encoder.layers.{idx + j}.block.3.conv"),
+                }
+            )
+        del stride  # stride is static config (cfg.encoder_strides), not a param
+        down_idx = idx + n_res + 1  # +1 skips the ELU module slot
+        blocks.append({"res": res, "down": _conv(sd, f"encoder.layers.{down_idx}.conv")})
+        idx = down_idx + 1
+    params["blocks"] = blocks
+    params["enc_out"] = _conv(sd, f"encoder.layers.{idx + 1}.conv")
+
+    tfm = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder_transformer.layers.{i}"
+        tfm.append(
+            {
+                "ln1_w": _np(sd[f"{p}.input_layernorm.weight"]),
+                "ln1_b": _np(sd[f"{p}.input_layernorm.bias"]),
+                "q": _np(sd[f"{p}.self_attn.q_proj.weight"]),
+                "k": _np(sd[f"{p}.self_attn.k_proj.weight"]),
+                "v": _np(sd[f"{p}.self_attn.v_proj.weight"]),
+                "o": _np(sd[f"{p}.self_attn.o_proj.weight"]),
+                "ls1": _np(sd[f"{p}.self_attn_layer_scale.scale"]),
+                "ln2_w": _np(sd[f"{p}.post_attention_layernorm.weight"]),
+                "ln2_b": _np(sd[f"{p}.post_attention_layernorm.bias"]),
+                "fc1": _np(sd[f"{p}.mlp.fc1.weight"]),
+                "fc2": _np(sd[f"{p}.mlp.fc2.weight"]),
+                "ls2": _np(sd[f"{p}.mlp_layer_scale.scale"]),
+            }
+        )
+    params["tfm"] = tfm
+
+    params["downsample"] = {"w": _np(sd["downsample.conv.weight"])}
+    params["rvq"] = {
+        "semantic": _rvq(
+            sd, "quantizer.semantic_residual_vector_quantizer", cfg.num_semantic_quantizers
+        ),
+        "acoustic": _rvq(
+            sd, "quantizer.acoustic_residual_vector_quantizer", cfg.num_acoustic_quantizers
+        ),
+    }
+    return params
+
+
+def params_from_torch_model(model, cfg: MimiConfig | None = None) -> Dict[str, Any]:
+    """Convert a live ``transformers.MimiModel`` (the parity oracle)."""
+    return convert_hf_state_dict(dict(model.state_dict()), cfg)
+
+
+def params_from_safetensors(path: str, cfg: MimiConfig | None = None) -> Dict[str, Any]:
+    """Convert a ``model.safetensors`` checkpoint file (e.g. kyutai/mimi)."""
+    from safetensors.numpy import load_file
+
+    return convert_hf_state_dict(load_file(path), cfg)
+
+
+def config_from_hf(hf_config) -> MimiConfig:
+    """Map a ``transformers.MimiConfig`` onto ours."""
+    return MimiConfig(
+        sampling_rate=hf_config.sampling_rate,
+        audio_channels=hf_config.audio_channels,
+        hidden_size=hf_config.hidden_size,
+        num_filters=hf_config.num_filters,
+        num_residual_layers=hf_config.num_residual_layers,
+        upsampling_ratios=tuple(hf_config.upsampling_ratios),
+        kernel_size=hf_config.kernel_size,
+        last_kernel_size=hf_config.last_kernel_size,
+        residual_kernel_size=hf_config.residual_kernel_size,
+        dilation_growth_rate=hf_config.dilation_growth_rate,
+        use_causal_conv=hf_config.use_causal_conv,
+        pad_mode=hf_config.pad_mode,
+        compress=hf_config.compress,
+        codebook_size=hf_config.codebook_size,
+        codebook_dim=hf_config.codebook_dim,
+        num_quantizers=hf_config.num_quantizers,
+        num_semantic_quantizers=hf_config.num_semantic_quantizers,
+        vector_quantization_hidden_dimension=hf_config.vector_quantization_hidden_dimension,
+        upsample_groups=hf_config.upsample_groups,
+        num_hidden_layers=hf_config.num_hidden_layers,
+        intermediate_size=hf_config.intermediate_size,
+        num_attention_heads=hf_config.num_attention_heads,
+        num_key_value_heads=hf_config.num_key_value_heads,
+        head_dim=hf_config.head_dim,
+        hidden_act=hf_config.hidden_act,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        norm_eps=hf_config.norm_eps,
+        rope_theta=hf_config.rope_theta,
+        sliding_window=hf_config.sliding_window,
+        layer_scale_initial_scale=hf_config.layer_scale_initial_scale,
+    )

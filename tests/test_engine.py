@@ -1,0 +1,117 @@
+"""Engine tests: bucketed batch encode vs standalone oracle, 60 s split
+policy, resampling path, multi-device dp sharding equivalence, metrics."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from tests.mimi_fixtures import make_oracle, tiny_hf_config
+from tokenize_audio_tpu.config import EngineConfig
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+from tokenize_audio_tpu.parallel import make_mesh
+
+SPF = 1920
+
+
+@pytest.fixture(scope="module")
+def tiny_oracle():
+    return make_oracle(tiny_hf_config())
+
+
+def ref_codes(model, audio, k=8):
+    with torch.no_grad():
+        return (
+            model.encode(torch.from_numpy(audio).float()[None, None, :])
+            .audio_codes[0, :k]
+            .numpy()
+        )
+
+
+def test_engine_matches_standalone(tiny_oracle, rng):
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    lengths = [1000, 5000, 19200, 26000, 7777, 1920]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths]
+    got = eng.encode_batch(audios)
+    assert len(got) == len(audios)
+    for a, g in zip(audios, got):
+        ref = ref_codes(model, a)
+        assert g.shape == ref.shape
+        assert (g == ref).all()
+    stats = eng.stats.as_dict()
+    assert stats["utterances"] == 6
+    assert stats["frames"] == sum(-(-n // SPF) for n in lengths)
+    assert 0 < stats["bucket_efficiency"] <= 1
+
+
+def test_engine_long_audio_split(tiny_oracle, rng):
+    """>cap audio: split into cap-sized pieces encoded independently and
+    concatenated (yodas2-mimi/process_shard.py:459-493 semantics)."""
+    model, params, cfg = tiny_oracle
+    cap_s = 2.0
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=cap_s)
+    )
+    n = int(24_000 * 5.3)
+    audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    got = eng.encode_chunk(audio)
+    cap = int(24_000 * cap_s)
+    refs = [ref_codes(model, audio[i : i + cap]) for i in range(0, n, cap)]
+    ref = np.concatenate(refs, axis=1)
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
+def test_engine_resamples(tiny_oracle, rng):
+    """sr != 24k goes through the on-device polyphase resampler."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    a16 = (rng.standard_normal(16_000) * 0.3).astype(np.float32)
+    got = eng.encode_batch([a16], sr=16_000)[0]
+    from tokenize_audio_tpu.core.audio import resample
+
+    a24 = np.asarray(resample(a16, 16_000, 24_000))
+    ref = ref_codes(model, a24)
+    assert (got == ref).all()
+
+
+def test_engine_int16_input(tiny_oracle, rng):
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    pcm = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    got = eng.encode_chunk(pcm)
+    ref = ref_codes(model, pcm.astype(np.float32) / 32768.0)
+    assert (got == ref).all()
+
+
+def test_engine_dp_mesh_equivalence(tiny_oracle, rng):
+    """Batch sharded over 8 virtual devices == single-device, bit for bit
+    (SURVEY §4 implication (e))."""
+    model, params, cfg = tiny_oracle
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(dp=8)
+    ecfg = EngineConfig(batch_size=8, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng_mesh = MimiEncoderEngine(params, cfg, ecfg, mesh=mesh)
+    eng_solo = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [
+        (rng.standard_normal(n) * 0.3).astype(np.float32)
+        for n in (1000, 5000, 9000, 20000, 1920, 333, 48000, 2500)
+    ]
+    got_mesh = eng_mesh.encode_batch(audios)
+    got_solo = eng_solo.encode_batch(audios)
+    for m, s in zip(got_mesh, got_solo):
+        assert (m == s).all()
+
+
+def test_engine_mesh_batch_divisibility(tiny_oracle):
+    _, params, cfg = tiny_oracle
+    with pytest.raises(ValueError, match="divide evenly"):
+        MimiEncoderEngine(params, cfg, EngineConfig(batch_size=3), mesh=make_mesh(dp=8))

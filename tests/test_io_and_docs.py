@@ -1,0 +1,83 @@
+"""WAV io round-trips, decoder registry, and document template formats."""
+
+import numpy as np
+import pytest
+
+from tokenize_audio_tpu.datasets import (
+    asr_document,
+    interleaved_type1,
+    interleaved_type2,
+    speaker_tagged_text,
+    tts_document,
+)
+from tokenize_audio_tpu.io import decode_audio, read_wav, register_decoder, write_wav
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal(4800) * 0.2).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 24_000)
+    y, sr = read_wav(p)
+    assert sr == 24_000
+    np.testing.assert_allclose(y, x, atol=2.0 / 32768)  # write x32767, read /32768
+
+
+def test_wav_stereo_and_decode_mono(tmp_path, rng):
+    x = (rng.standard_normal((1000, 2)) * 0.2).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, x, 48_000)
+    y, sr = read_wav(p)
+    assert y.shape == (1000, 2)
+    mono, sr2 = decode_audio(p)
+    assert mono.shape == (1000,)
+    np.testing.assert_allclose(mono, y.mean(axis=1), atol=1e-6)
+
+
+def test_decode_magic_sniff(tmp_path, rng):
+    x = np.zeros(100, dtype=np.float32)
+    p = str(tmp_path / "noext")
+    write_wav(p, x, 16_000)
+    y, sr = decode_audio(p)
+    assert sr == 16_000 and len(y) == 100
+
+
+def test_decoder_registry():
+    with pytest.raises(ValueError, match="no decoder"):
+        decode_audio(b"\x00" * 64, format="xyz")
+    register_decoder("xyz", lambda data: (np.ones(3, np.float32), 8000))
+    y, sr = decode_audio(b"\x00" * 64, format="xyz")
+    assert sr == 8000 and y.tolist() == [1, 1, 1]
+
+
+def test_document_templates():
+    assert tts_document("hi", "AB") == (
+        "<|begin_of_text|><|text_start|>hi<|text_end|>"
+        "<|audio_start|>AB<|audio_end|><|end_of_text|>"
+    )
+    assert asr_document("hi", "AB") == (
+        "<|begin_of_text|><|audio_start|>AB<|audio_end|>"
+        "<|text_start|>hi<|text_end|><|end_of_text|>"
+    )
+    assert tts_document("hi", "AB", speaker_tag=0) == (
+        "<|begin_of_text|><|text_start|>[0]hi<|text_end|>"
+        "<|audio_start|>AB<|audio_end|><|end_of_text|>"
+    )
+    assert speaker_tagged_text("hello", 2) == "[2]hello"
+
+
+def test_interleaved_multi_chunk():
+    chunks = [("a", "X"), ("b", "Y")]
+    t1 = interleaved_type1(chunks)
+    assert t1 == (
+        "<|begin_of_text|>"
+        "<|text_start|>a<|text_end|><|audio_start|>X<|audio_end|>"
+        "<|text_start|>b<|text_end|><|audio_start|>Y<|audio_end|>"
+        "<|end_of_text|>"
+    )
+    t2 = interleaved_type2(chunks, speaker_tags=[0, 1])
+    assert t2 == (
+        "<|begin_of_text|>"
+        "<|audio_start|>X<|audio_end|><|text_start|>[0]a<|text_end|>"
+        "<|audio_start|>Y<|audio_end|><|text_start|>[1]b<|text_end|>"
+        "<|end_of_text|>"
+    )

@@ -27,30 +27,9 @@ SPF = 1920  # samples per 12.5 Hz frame
 
 @pytest.fixture(scope="module")
 def oracle():
-    from transformers import MimiConfig as HFMimiConfig
-    from transformers.models.mimi.modeling_mimi import MimiModel
+    from tests.mimi_fixtures import make_oracle
 
-    torch.manual_seed(0)
-    hf_cfg = HFMimiConfig()
-    hf_cfg._attn_implementation = "eager"
-    model = MimiModel(hf_cfg).eval()
-    # _init_weights leaves codebook buffers degenerate (embed_sum=0); fill
-    # them with seeded values so RVQ parity is meaningful.
-    gen = torch.Generator().manual_seed(1)
-    with torch.no_grad():
-        for rvq in (
-            model.quantizer.semantic_residual_vector_quantizer,
-            model.quantizer.acoustic_residual_vector_quantizer,
-        ):
-            for layer in rvq.layers:
-                cb = layer.codebook
-                cb.embed_sum.copy_(torch.randn(cb.embed_sum.shape, generator=gen))
-                cb.cluster_usage.copy_(
-                    torch.rand(cb.cluster_usage.shape, generator=gen) * 2 + 0.5
-                )
-    params = params_from_torch_model(model)
-    cfg = config_from_hf(hf_cfg)
-    return model, params, cfg
+    return make_oracle()
 
 
 def hf_encode(model, audio_np, num_quantizers=8):

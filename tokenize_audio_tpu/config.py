@@ -65,7 +65,21 @@ class EngineConfig:
     bucket_growth: float = 1.25
     sample_rate: int = MIMI_SAMPLE_RATE
     num_codebooks: int = NUM_CODEBOOKS
+    # samples budget per device batch: short buckets get proportionally
+    # larger batches (keeps the MXU fed), long buckets smaller (bounds
+    # activation memory). None -> fixed batch_size for every bucket.
+    samples_per_batch: int | None = None
+    max_batch_size: int = 128
 
     @property
     def max_chunk_samples(self) -> int:
         return int(self.max_chunk_seconds * self.sample_rate)
+
+    def batch_size_for_bucket(self, bucket_len: int, multiple_of: int = 1) -> int:
+        if self.samples_per_batch is None:
+            b = self.batch_size
+        else:
+            b = max(1, self.samples_per_batch // bucket_len)
+            b = min(b, self.max_batch_size)
+        b = max(multiple_of, b // multiple_of * multiple_of)
+        return b

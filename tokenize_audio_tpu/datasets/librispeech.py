@@ -1,0 +1,162 @@
+"""LibriSpeech -> Mimi-code ASR/TTS parquet builder (the MVP vertical slice).
+
+Capability equivalent of ``librispeech-mimi/process_librispeech_train.py``
+and ``process_librispeech_dev-test.py``: local audio manifest -> decode ->
+resample -> batched Mimi encode (first 8 codebooks) -> unicode code strings
+-> `_type1` (TTS) / `_type2` (ASR) document rows -> chunked parquet ->
+artifact hub, with chunk-level resume.
+
+Manifest: JSON list of {"id": str, "audio": path, "text": str}
+(the reference reads an equivalent local JSON of flac paths + transcripts).
+
+CLI:
+    python -m tokenize_audio_tpu.datasets.librispeech \
+        --manifest dev-clean.json --split dev-clean \
+        --hub dir:/data/hub --progress-dir /data/progress \
+        --params /path/model.safetensors [--chunk-rows 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from typing import Dict, List, Sequence
+
+from tokenize_audio_tpu.config import CODEBOOK_SIZE, UNICODE_OFFSET_LARGE, EngineConfig
+from tokenize_audio_tpu.core.codes import codes_to_chars
+from tokenize_audio_tpu.datasets.base import asr_document, tts_document
+from tokenize_audio_tpu.datasets.parquet_utils import chunk_name, write_parquet
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+from tokenize_audio_tpu.hub import open_hub
+from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.runner import ShardRunner, WorkUnit
+
+logger = logging.getLogger(__name__)
+
+
+def build_rows(entries: Sequence[Dict], engine: MimiEncoderEngine) -> List[Dict]:
+    """Encode a list of manifest entries into _type1/_type2 rows.
+
+    Row schema matches process_librispeech_train.py:196-208: per utterance a
+    TTS row (`{id}_type1`) and an ASR row (`{id}_type2`)."""
+    audios, srs = [], set()
+    for e in entries:
+        audio, sr = decode_audio(e["audio"])
+        audios.append((audio, sr))
+        srs.add(sr)
+    rows: List[Dict] = []
+    # group by source sample rate so each engine call resamples uniformly
+    for sr in sorted(srs):
+        idxs = [i for i, (_, s) in enumerate(audios) if s == sr]
+        codes = engine.encode_batch([audios[i][0] for i in idxs], sr=sr)
+        for i, c in zip(idxs, codes):
+            e = entries[i]
+            audio_str = codes_to_chars(
+                c, CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
+            )
+            text = e["text"].strip()
+            rows.append({"id": f"{e['id']}_type1", "text": tts_document(text, audio_str)})
+            rows.append({"id": f"{e['id']}_type2", "text": asr_document(text, audio_str)})
+    order = {e["id"]: i for i, e in enumerate(entries)}
+    rows.sort(key=lambda r: (order[r["id"].rsplit("_type", 1)[0]], r["id"]))
+    return rows
+
+
+def process_split(
+    manifest: List[Dict],
+    split: str,
+    engine: MimiEncoderEngine,
+    hub,
+    progress_dir: str,
+    work_dir: str,
+    chunk_rows: int = 10_000,
+    upload_batch_size: int = 4,
+):
+    """Chunk the manifest into parquet files of <=chunk_rows rows (2 rows per
+    utterance), run through the resumable shard loop."""
+    per_chunk = max(1, chunk_rows // 2)
+    chunks = [manifest[i : i + per_chunk] for i in range(0, len(manifest), per_chunk)]
+    total = len(chunks)
+
+    def process(unit: WorkUnit) -> list:
+        idx, entries = unit.payload
+        rows = build_rows(entries, engine)
+        name = chunk_name(split, idx, total)
+        local = write_parquet(rows, f"{work_dir}/{name}")
+        return [(local, f"data/{name}")]
+
+    units = [
+        WorkUnit(
+            unit_id=chunk_name(split, i, total),
+            payload=(i, entries),
+            done_markers=(f"data/{chunk_name(split, i, total)}",),
+        )
+        for i, entries in enumerate(chunks)
+    ]
+    runner = ShardRunner(
+        split, hub, progress_dir, process, upload_batch_size=upload_batch_size
+    )
+    return runner.run(units)
+
+
+def _load_engine(args) -> MimiEncoderEngine:
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
+
+    cfg = MimiConfig()
+    if args.params:
+        params = params_from_safetensors(args.params, cfg)
+    else:
+        logger.warning("no --params given; using seeded random weights")
+        params = random_params(cfg)
+    ecfg = EngineConfig(
+        batch_size=args.batch_size,
+        samples_per_batch=args.samples_per_batch,
+        max_chunk_seconds=args.max_chunk_seconds,
+    )
+    return MimiEncoderEngine(params, cfg, ecfg)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--split", required=True)
+    ap.add_argument("--hub", required=True, help="dir:/path or hf:org/repo")
+    ap.add_argument("--progress-dir", required=True)
+    ap.add_argument("--work-dir", default="/tmp/ta_work")
+    ap.add_argument("--params", default=None, help="mimi safetensors checkpoint")
+    ap.add_argument("--chunk-rows", type=int, default=10_000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--samples-per-batch", type=int, default=None)
+    ap.add_argument("--max-chunk-seconds", type=float, default=60.0)
+    ap.add_argument("--upload-batch-size", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    with open(args.manifest) as f:
+        manifest = json.load(f)
+    engine = _load_engine(args)
+    hub = open_hub(args.hub)
+    report = process_split(
+        manifest,
+        args.split,
+        engine,
+        hub,
+        args.progress_dir,
+        args.work_dir,
+        chunk_rows=args.chunk_rows,
+        upload_batch_size=args.upload_batch_size,
+    )
+    stats = engine.stats.as_dict()
+    logger.info("report: %s", report)
+    logger.info("engine: %s", stats)
+    print(
+        json.dumps(
+            {"report": report.__dict__, "engine": stats}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Length-bucketed Mimi batch-encode engine.
+
+Drop-in capability replacement for the reference's ``MimiEncoder`` wrapper
+(yodas2-mimi/process_shard.py:185-274 and its nine copy-paste sites):
+
+  - ``encode_chunk(audio, sr)``  — one utterance -> (K, T) codes, splitting
+    >60 s audio into independently-encoded pieces concatenated on the time
+    axis (reference policy, process_shard.py:436-493).
+  - ``encode_batch(audios, sr)`` — many utterances -> list of (K, T) codes,
+    trimmed to ceil(len/1920) frames each (process_shard.py:262-274).
+
+TPU-first differences from the reference:
+  - pad-to-bucket over a static shape lattice instead of pad-to-longest, so
+    XLA compiles a bounded set of programs and the MXU stays tiled;
+  - masked padding semantics make every utterance's codes bit-identical to
+    its standalone encode — batch composition cannot change codes (the
+    reference's batched codes depend on the longest element);
+  - on-device polyphase resampling instead of host librosa;
+  - optional ``jax.sharding.Mesh``: the batch dimension is sharded over the
+    mesh's ``data`` axis, params replicated.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenize_audio_tpu.config import EngineConfig
+from tokenize_audio_tpu.core.audio import (
+    bucket_for_length,
+    make_buckets,
+    pad_to_bucket,
+    pcm_to_float,
+    resample,
+    split_long_audio,
+)
+from tokenize_audio_tpu.engine.metrics import EngineStats
+from tokenize_audio_tpu.mimi.config import MimiConfig
+from tokenize_audio_tpu.mimi.model import encode as mimi_encode
+
+
+class MimiEncoderEngine:
+    def __init__(
+        self,
+        params,
+        cfg: Optional[MimiConfig] = None,
+        engine_cfg: Optional[EngineConfig] = None,
+        mesh=None,
+        num_codebooks: Optional[int] = None,
+        masked: bool = True,
+    ):
+        self.cfg = cfg or MimiConfig()
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.num_codebooks = num_codebooks or self.engine_cfg.num_codebooks
+        self.masked = masked
+        self.stats = EngineStats()
+        self.buckets = make_buckets(
+            self.engine_cfg.min_bucket_seconds,
+            self.engine_cfg.max_chunk_seconds,
+            self.engine_cfg.bucket_growth,
+            self.engine_cfg.sample_rate,
+            self.cfg.samples_per_frame,
+        )
+        self._batch_sharding = None
+        if mesh is not None:
+            from tokenize_audio_tpu.parallel.mesh import batch_sharding, replicate_params
+
+            dp = mesh.shape.get("data", 1)
+            if self.engine_cfg.batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {self.engine_cfg.batch_size} must divide evenly "
+                    f"over the data mesh axis ({dp} devices)"
+                )
+            params = replicate_params(params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+        self.params = params
+        self.mesh = mesh
+
+    # -- internals ---------------------------------------------------------
+
+    def _device_batch(self, batch: np.ndarray, lengths: np.ndarray):
+        b = jnp.asarray(batch)
+        v = jnp.asarray(lengths)
+        if self._batch_sharding is not None:
+            b = jax.device_put(b, self._batch_sharding)
+            v = jax.device_put(v, self._batch_sharding)
+        return b, v
+
+    def _encode_bucket(self, utterances: Sequence[np.ndarray], bucket: int) -> List[np.ndarray]:
+        """Encode a same-bucket group, padding the batch dim to a static size
+        (and to a multiple of the data-mesh axis)."""
+        dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        bs = self.engine_cfg.batch_size_for_bucket(bucket, multiple_of=dp)
+        out: List[np.ndarray] = []
+        for start in range(0, len(utterances), bs):
+            group = list(utterances[start : start + bs])
+            n_real = len(group)
+            # always pad the batch dim to the static batch size: one compiled
+            # program per bucket, and the dp axis always divides evenly
+            group += [np.zeros(1, dtype=np.float32)] * (bs - n_real)
+            with self.stats.stage("pad"):
+                batch, lengths = pad_to_bucket(group, bucket)
+            with self.stats.stage("encode"):
+                b, v = self._device_batch(batch, lengths)
+                codes, valid = mimi_encode(
+                    self.params,
+                    self.cfg,
+                    b,
+                    v,
+                    num_quantizers=self.num_codebooks,
+                    masked=self.masked,
+                )
+                codes = np.asarray(jax.device_get(codes))
+                valid = np.asarray(jax.device_get(valid))
+            self.stats.padded_frames += codes.shape[0] * codes.shape[2]
+            with self.stats.stage("trim"):
+                for i in range(n_real):
+                    f = int(valid[i])
+                    out.append(codes[i, :, :f])
+                    self.stats.frames += f
+        return out
+
+    def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        audio = pcm_to_float(np.asarray(audio)).reshape(-1)
+        if sr != self.engine_cfg.sample_rate:
+            with self.stats.stage("resample"):
+                audio = np.asarray(resample(audio, sr, self.engine_cfg.sample_rate))
+        return audio
+
+    # -- public API --------------------------------------------------------
+
+    def encode_batch(
+        self, audios: Sequence[np.ndarray], sr: int = 24_000
+    ) -> List[np.ndarray]:
+        """Encode utterances; returns per-utterance (num_codebooks, frames)
+        int32 arrays in input order. Audio longer than the 60 s cap is split
+        and re-concatenated on the code time axis."""
+        prepared = [self._prepare(a, sr) for a in audios]
+        # explode >cap audio into pieces, remembering the mapping
+        pieces: List[np.ndarray] = []
+        piece_of: List[int] = []
+        cap = self.engine_cfg.max_chunk_samples
+        for i, a in enumerate(prepared):
+            for p in split_long_audio(a, cap):
+                pieces.append(p)
+                piece_of.append(i)
+            self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
+            self.stats.utterances += 1
+
+        # group by bucket, encode, restore order
+        order = sorted(range(len(pieces)), key=lambda j: len(pieces[j]))
+        results: List[Optional[np.ndarray]] = [None] * len(pieces)
+        j = 0
+        while j < len(order):
+            bucket = bucket_for_length(len(pieces[order[j]]), self.buckets)
+            group_idx = []
+            while j < len(order) and len(pieces[order[j]]) <= bucket:
+                group_idx.append(order[j])
+                j += 1
+            group_codes = self._encode_bucket([pieces[g] for g in group_idx], bucket)
+            for g, c in zip(group_idx, group_codes):
+                results[g] = c
+
+        # reassemble per-utterance codes (concat split pieces on time axis)
+        out: List[List[np.ndarray]] = [[] for _ in prepared]
+        for p_idx, owner in enumerate(piece_of):
+            out[owner].append(results[p_idx])
+        return [
+            parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+            for parts in out
+        ]
+
+    def encode_chunk(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
+        """Single-utterance encode (reference encode_audio_chunk,
+        yodas2-mimi/process_shard.py:197-220)."""
+        return self.encode_batch([audio], sr)[0]

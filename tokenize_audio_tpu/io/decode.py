@@ -1,0 +1,80 @@
+"""Audio container decode registry.
+
+One entry point, ``decode_audio(path_or_bytes, format=None)``, dispatching
+by extension/magic to registered decoders. WAV is built in; FLAC is served
+by the native C++ decoder in ``tokenize_audio_tpu/io/native`` when built
+(falling back to a clear error naming the gap); mp3 and other formats can
+be registered by deployments that ship a decoder.
+
+Replaces the reference's librosa.load host decode
+(yodas2-mimi/process_shard.py:389, emilia-mimi/process_shard.py:473-537).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from tokenize_audio_tpu.io.wav import read_wav
+
+Decoder = Callable[[bytes], Tuple[np.ndarray, int]]
+
+_DECODERS: Dict[str, Decoder] = {}
+
+
+def register_decoder(fmt: str, fn: Decoder) -> None:
+    _DECODERS[fmt.lower()] = fn
+
+
+def _sniff(data: bytes) -> Optional[str]:
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
+        return "mp3"
+    return None
+
+
+def decode_audio(
+    path_or_bytes, format: Optional[str] = None, mono: bool = True
+) -> Tuple[np.ndarray, int]:
+    """Decode an audio container -> (float32 audio, sample_rate).
+
+    ``mono=True`` averages channels (librosa.load default behavior, which
+    the reference relies on for multi-channel corpus files)."""
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        data = bytes(path_or_bytes)
+    else:
+        if format is None:
+            format = os.path.splitext(str(path_or_bytes))[1].lstrip(".").lower() or None
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    fmt = (format or _sniff(data) or "").lower()
+    if fmt == "wav":
+        audio, sr = read_wav(data)
+    elif fmt in _DECODERS:
+        audio, sr = _DECODERS[fmt](data)
+    else:
+        raise ValueError(
+            f"no decoder for format {fmt!r}; built-in: wav"
+            f"{', ' + ', '.join(sorted(_DECODERS)) if _DECODERS else ''}. "
+            "Register one with tokenize_audio_tpu.io.register_decoder."
+        )
+    if mono and audio.ndim == 2:
+        audio = audio.mean(axis=1)
+    return audio.astype(np.float32), sr
+
+
+def _try_register_native_flac() -> None:
+    try:
+        from tokenize_audio_tpu.io.flac import read_flac
+
+        register_decoder("flac", lambda data: read_flac(data))
+    except Exception:  # noqa: BLE001 — native lib absent; flac stays unregistered
+        pass
+
+
+_try_register_native_flac()

@@ -113,6 +113,8 @@ def convert_hf_state_dict(
 
 def params_from_torch_model(model, cfg: MimiConfig | None = None) -> Dict[str, Any]:
     """Convert a live ``transformers.MimiModel`` (the parity oracle)."""
+    if cfg is None and getattr(model, "config", None) is not None:
+        cfg = config_from_hf(model.config)
     return convert_hf_state_dict(dict(model.state_dict()), cfg)
 
 
@@ -121,6 +123,73 @@ def params_from_safetensors(path: str, cfg: MimiConfig | None = None) -> Dict[st
     from safetensors.numpy import load_file
 
     return convert_hf_state_dict(load_file(path), cfg)
+
+
+def random_params(cfg: MimiConfig | None = None, seed: int = 0) -> Dict[str, Any]:
+    """Seeded random param pytree with the exact converter layout — for
+    benchmarks and compile checks without a torch checkpoint in the loop."""
+    cfg = cfg or MimiConfig()
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, scale=None):
+        scale = scale or 1.0 / np.sqrt(np.prod(shape[1:]) if len(shape) > 1 else 1.0)
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    nf, hs = cfg.num_filters, cfg.hidden_size
+    params: Dict[str, Any] = {
+        "enc_in": {"w": w(nf, cfg.audio_channels, cfg.kernel_size), "b": w(nf)}
+    }
+    blocks = []
+    dim = nf
+    for stride in cfg.encoder_strides:
+        hidden = dim // cfg.compress
+        res = [
+            {
+                "c1": {"w": w(hidden, dim, cfg.residual_kernel_size), "b": w(hidden)},
+                "c2": {"w": w(dim, hidden, 1), "b": w(dim)},
+            }
+            for _ in range(cfg.num_residual_layers)
+        ]
+        blocks.append(
+            {"res": res, "down": {"w": w(2 * dim, dim, 2 * stride), "b": w(2 * dim)}}
+        )
+        dim *= 2
+    params["blocks"] = blocks
+    params["enc_out"] = {"w": w(hs, dim, cfg.last_kernel_size), "b": w(hs)}
+
+    nh, hd, inter = cfg.num_attention_heads, cfg.head_dim, cfg.intermediate_size
+    params["tfm"] = [
+        {
+            "ln1_w": np.ones(hs, np.float32),
+            "ln1_b": np.zeros(hs, np.float32),
+            "q": w(nh * hd, hs),
+            "k": w(nh * hd, hs),
+            "v": w(nh * hd, hs),
+            "o": w(hs, nh * hd),
+            "ls1": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
+            "ln2_w": np.ones(hs, np.float32),
+            "ln2_b": np.zeros(hs, np.float32),
+            "fc1": w(inter, hs),
+            "fc2": w(hs, inter),
+            "ls2": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    params["downsample"] = {"w": w(hs, hs, 4)}
+    d = cfg.vector_quantization_hidden_dimension
+    params["rvq"] = {
+        "semantic": {
+            "in_proj": w(d, hs),
+            "out_proj": w(hs, d),
+            "embed": w(cfg.num_semantic_quantizers, cfg.codebook_size, d, scale=1.0),
+        },
+        "acoustic": {
+            "in_proj": w(d, hs),
+            "out_proj": w(hs, d),
+            "embed": w(cfg.num_acoustic_quantizers, cfg.codebook_size, d, scale=1.0),
+        },
+    }
+    return params
 
 
 def config_from_hf(hf_config) -> MimiConfig:

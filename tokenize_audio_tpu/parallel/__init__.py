@@ -1,0 +1,5 @@
+from tokenize_audio_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate_params,
+)

@@ -1,0 +1,193 @@
+"""YODAS2 flagship processor: tarball corpus -> code JSONs on a fake hub,
+with chunk slicing, long-chunk split, resume, and missing-stop semantics."""
+
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+import torch
+
+from tests.mimi_fixtures import make_oracle, tiny_hf_config
+from tokenize_audio_tpu.config import EngineConfig
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+from tokenize_audio_tpu.hub import LocalHub
+from tokenize_audio_tpu.io import write_wav
+from tokenize_audio_tpu.datasets.yodas2 import (
+    LocalSource,
+    SubShardProcessor,
+    Yodas2ShardProcessor,
+    is_json_complete,
+    parse_chunk_id,
+    slice_chunks,
+)
+
+SR = 24_000
+
+
+@pytest.fixture(scope="module")
+def tiny_oracle():
+    return make_oracle(tiny_hf_config())
+
+
+def make_engine(tiny_oracle, cap_s=2.0):
+    _, params, cfg = tiny_oracle
+    return MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(batch_size=4, min_bucket_seconds=0.25, max_chunk_seconds=cap_s),
+        num_codebooks=12,  # store all books like the reference raw stage
+    )
+
+
+def build_corpus(root, rng, shard="en000", subshards=2, audios_per=2):
+    """Synthetic YODAS2 mirror: {shard}/{sid}.tar.gz with wavs + {sid}.json."""
+    for s in range(subshards):
+        sid = f"{s:08d}"
+        sdir = os.path.join(root, shard)
+        os.makedirs(sdir, exist_ok=True)
+        wav_dir = os.path.join(root, f"_build_{sid}")
+        os.makedirs(wav_dir, exist_ok=True)
+        meta = []
+        for a in range(audios_per):
+            audio_id = f"vid-{sid}-{a}"  # hyphens in audio_id, like real ids
+            dur_s = 3.0 + a
+            audio = (rng.standard_normal(int(SR * dur_s)) * 0.3).astype(np.float32)
+            write_wav(os.path.join(wav_dir, f"{audio_id}.wav"), audio, SR)
+            text = {
+                f"{audio_id}-00000-00000000-00000100": "first second",  # 0-1 s
+                f"{audio_id}-00001-00000100-00000250": "next 1.5 s",  # 1-2.5 s
+                f"{audio_id}-00002-00000250-00000250": "degenerate",  # skipped
+            }
+            if a == 1:
+                # 3.5 s chunk > 2 s cap: exercises split+concat
+                text[f"{audio_id}-00003-00000050-00000400"] = "long chunk"
+            meta.append({"audio_id": audio_id, "text": text})
+        with tarfile.open(os.path.join(sdir, f"{sid}.tar.gz"), "w:gz") as tf:
+            tf.add(wav_dir, arcname="audio")
+        with open(os.path.join(sdir, f"{sid}.json"), "w") as f:
+            json.dump(meta, f)
+    return root
+
+
+def test_parse_chunk_id():
+    assert parse_chunk_id("vid-ab-00001-00000100-00000250") == (100, 250)
+    assert parse_chunk_id("v-00000-00000050-00000050") is None  # degenerate
+    with pytest.raises(ValueError):
+        parse_chunk_id("bad")
+    with pytest.raises(ValueError):
+        parse_chunk_id("v-00000-00000200-00000100")  # start > end
+
+
+def test_slice_chunks(rng):
+    audio = rng.standard_normal(SR * 3).astype(np.float32)
+    text = {
+        "a-00000-00000000-00000100": "x",
+        "a-00001-00000100-00000100": "degenerate",
+        "a-00002-00027000-00029000": "past end",
+    }
+    ids, segs = slice_chunks(audio, text, SR)
+    assert ids == ["a-00000-00000000-00000100"]
+    assert len(segs[0]) == SR  # 100 cs = 1 s
+
+
+def test_subshard_end_to_end(tmp_path, rng, tiny_oracle):
+    model, _, _ = tiny_oracle
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=1)
+    src = LocalSource(root)
+    eng = make_engine(tiny_oracle)
+    sub = SubShardProcessor(eng, str(tmp_path / "work"), save_every=1)
+    tar, txt = src.fetch("en000", "00000000", str(tmp_path / "work"))
+    out_path = str(tmp_path / "work" / "00000000.json")
+    entries = sub.process(tar, txt, out_path)
+    assert is_json_complete(out_path)
+    assert len(entries) == 2
+
+    # exact parity incl. the >cap split chunk: reference splits into cap
+    # pieces, encodes each standalone, concatenates (process_shard.py:459-493)
+    e1 = entries[1]
+    long_id = [c for c in e1["codes"] if c.endswith("-00003-00000050-00000400")][0]
+    audio, _ = __import__("tokenize_audio_tpu.io", fromlist=["read_wav"]).read_wav(
+        os.path.join(root, "_build_00000000", f"{e1['audio_id']}.wav")
+    )
+    seg = audio[int(50 * SR / 100) : int(400 * SR / 100)]
+    cap = int(2.0 * SR)
+    refs = []
+    for i in range(0, len(seg), cap):
+        piece = seg[i : i + cap]
+        with torch.no_grad():
+            refs.append(
+                model.encode(torch.from_numpy(piece).float()[None, None, :])
+                .audio_codes[0, :12]
+                .numpy()
+            )
+    ref = np.concatenate(refs, axis=1)
+    got = np.array(e1["codes"][long_id])
+    assert got.dtype != object
+    assert (got == ref).all()
+
+
+def test_shard_processor_full_run_and_resume(tmp_path, rng, tiny_oracle):
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=3)
+    hub = LocalHub(str(tmp_path / "hub"))
+    proc = Yodas2ShardProcessor(
+        "en000",
+        LocalSource(root),
+        hub,
+        make_engine(tiny_oracle),
+        str(tmp_path / "work"),
+        str(tmp_path / "prog"),
+        max_subshards=20,
+        max_consecutive_missing=5,
+        upload_batch_size=2,
+    )
+    rep = proc.process()
+    assert rep["processed"] == 3
+    assert rep["uploaded"] == 3
+    assert rep["missing"] == 5  # stopped after 5 consecutive missing
+    files = hub.list_files("data/en000/")
+    assert files == [f"data/en000/{i:08d}.json" for i in range(3)]
+
+    # resume: all skipped
+    proc2 = Yodas2ShardProcessor(
+        "en000",
+        LocalSource(root),
+        hub,
+        make_engine(tiny_oracle),
+        str(tmp_path / "work"),
+        str(tmp_path / "prog"),
+        max_subshards=20,
+        max_consecutive_missing=5,
+    )
+    rep2 = proc2.process()
+    assert rep2["processed"] == 0 and rep2["skipped"] == 3
+
+
+def test_scan_and_queue_local(tmp_path, rng, tiny_oracle):
+    """A complete local output left by a crash is uploaded without re-encode
+    (process_shard.py:851-915)."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=1)
+    hub = LocalHub(str(tmp_path / "hub"))
+    work = str(tmp_path / "work")
+    os.makedirs(os.path.join(work, "en000"), exist_ok=True)
+    orphan = [{"audio_id": "vid-x", "text": {}, "codes": {"c": [[1, 2]]}}]
+    with open(os.path.join(work, "en000", "00000005.out.json"), "w") as f:
+        json.dump(orphan, f)
+    with open(os.path.join(work, "en000", "00000006.out.json"), "w") as f:
+        json.dump([{"audio_id": "vid-y", "text": {}}], f)  # incomplete: no codes
+
+    proc = Yodas2ShardProcessor(
+        "en000",
+        LocalSource(root),
+        hub,
+        make_engine(tiny_oracle),
+        work,
+        str(tmp_path / "prog"),
+        max_subshards=1,
+        max_consecutive_missing=3,
+    )
+    proc.process()
+    assert hub.exists("data/en000/00000005.json")
+    assert not hub.exists("data/en000/00000006.json")
+    assert not os.path.exists(os.path.join(work, "en000", "00000006.out.json"))

@@ -1,0 +1,401 @@
+"""YODAS2 web-scale shard processor — the flagship pipeline.
+
+Capability equivalent of ``yodas2-mimi/process_shard.py`` (1169 lines):
+per sub-shard, fetch an audio tarball + chunk-transcript JSON, slice each
+audio by centisecond chunk ids ``{audio}-{idx:05d}-{start_cs:08d}-
+{end_cs:08d}`` (:400-427), batch-encode all chunks (>60 s chunks split and
+re-concatenated, :436-493), store ALL codebooks as uint16 lists in the
+entry's ``codes`` field (:520-523 — the 8-book slice happens downstream in
+the pretrain converter), save incrementally for mid-sub-shard resume
+(:549-569), validate completeness before upload (:792-824), and at the
+shard level enumerate sub-shards ``{i:08d}`` with availability checks and a
+``max_consecutive_missing`` stop (:933-985, :1050-1069), progress JSON, and
+batched hub uploads (:1002-1033).
+
+Sources are pluggable: ``LocalSource`` reads ``{sid}.tar.gz`` + ``{sid}.json``
+from a directory tree (tests, pre-mirrored corpora); ``HubSource`` pulls the
+same layout from any ArtifactStore (incl. HFHub for the real corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import tarfile
+from typing import Dict, List, Optional, Protocol, Tuple
+
+import numpy as np
+
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+from tokenize_audio_tpu.hub import open_hub
+from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.runner import ShardProgress, atomic_write_json, read_json
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+class Yodas2Source(Protocol):
+    def available(self, shard_id: str, subshard_id: str) -> bool: ...
+
+    def fetch(self, shard_id: str, subshard_id: str, dest_dir: str) -> Tuple[str, str]:
+        """Return (audio_tar_path, text_json_path) placed under dest_dir."""
+
+
+class LocalSource:
+    """Directory tree: {root}/{shard}/{subshard}.tar.gz + {subshard}.json."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _paths(self, shard_id: str, subshard_id: str) -> Tuple[str, str]:
+        base = os.path.join(self.root, shard_id, subshard_id)
+        return f"{base}.tar.gz", f"{base}.json"
+
+    def available(self, shard_id: str, subshard_id: str) -> bool:
+        tar, txt = self._paths(shard_id, subshard_id)
+        return os.path.exists(tar) and os.path.exists(txt)
+
+    def fetch(self, shard_id: str, subshard_id: str, dest_dir: str) -> Tuple[str, str]:
+        tar, txt = self._paths(shard_id, subshard_id)
+        os.makedirs(dest_dir, exist_ok=True)
+        dtar = os.path.join(dest_dir, os.path.basename(tar))
+        dtxt = os.path.join(dest_dir, os.path.basename(txt))
+        shutil.copyfile(tar, dtar)
+        shutil.copyfile(txt, dtxt)
+        return dtar, dtxt
+
+
+class HubSource:
+    """Same layout served from an ArtifactStore (e.g. hf:espnet/yodas2)."""
+
+    def __init__(self, hub, prefix: str = ""):
+        self.hub = hub
+        self.prefix = prefix
+
+    def _repo(self, shard_id: str, subshard_id: str) -> Tuple[str, str]:
+        base = f"{self.prefix}{shard_id}/{subshard_id}"
+        return f"{base}.tar.gz", f"{base}.json"
+
+    def available(self, shard_id: str, subshard_id: str) -> bool:
+        tar, txt = self._repo(shard_id, subshard_id)
+        return self.hub.exists(tar) and self.hub.exists(txt)
+
+    def fetch(self, shard_id: str, subshard_id: str, dest_dir: str) -> Tuple[str, str]:
+        tar, txt = self._repo(shard_id, subshard_id)
+        dtar = os.path.join(dest_dir, os.path.basename(tar))
+        dtxt = os.path.join(dest_dir, os.path.basename(txt))
+        self.hub.download(tar, dtar)
+        self.hub.download(txt, dtxt)
+        return dtar, dtxt
+
+
+# ---------------------------------------------------------------------------
+# Chunk parsing
+# ---------------------------------------------------------------------------
+
+def parse_chunk_id(chunk_id: str) -> Optional[Tuple[int, int]]:
+    """`{audio}-{idx:05d}-{start_cs:08d}-{end_cs:08d}` -> (start_cs, end_cs)
+    in centiseconds, or None for degenerate start==end segments
+    (process_shard.py:400-421)."""
+    parts = chunk_id.rsplit("-", 3)
+    if len(parts) != 4:
+        raise ValueError(f"Invalid chunk_id format: {chunk_id}")
+    start_cs, end_cs = int(parts[2]), int(parts[3])
+    if start_cs == end_cs:
+        return None
+    if start_cs > end_cs:
+        raise ValueError(f"Invalid chunk_id format: {chunk_id}")
+    return start_cs, end_cs
+
+
+def slice_chunks(
+    audio: np.ndarray, text_dict: Dict[str, str], sample_rate: int = 24_000
+) -> Tuple[List[str], List[np.ndarray]]:
+    """Slice the full audio array into per-chunk segments by centisecond
+    bounds, skipping degenerate and empty segments (:423-435)."""
+    ids, segments = [], []
+    for chunk_id in text_dict:
+        bounds = parse_chunk_id(chunk_id)
+        if bounds is None:
+            continue
+        start_cs, end_cs = bounds
+        seg = audio[int(start_cs * sample_rate / 100) : int(end_cs * sample_rate / 100)]
+        if len(seg) == 0:
+            continue  # transcript longer than the actual audio
+        ids.append(chunk_id)
+        segments.append(seg)
+    return ids, segments
+
+
+def is_json_complete(path: str) -> bool:
+    """Every entry must carry a codes field before upload counts
+    (process_shard.py:792-824)."""
+    data = read_json(path)
+    if not isinstance(data, list) or not data:
+        return False
+    return all("codes" in e for e in data)
+
+
+# ---------------------------------------------------------------------------
+# Sub-shard processing
+# ---------------------------------------------------------------------------
+
+class SubShardProcessor:
+    def __init__(
+        self,
+        engine: MimiEncoderEngine,
+        work_dir: str,
+        save_every: int = 10,
+        sample_rate: int = 24_000,
+    ):
+        self.engine = engine
+        self.work_dir = work_dir
+        self.save_every = save_every
+        self.sample_rate = sample_rate
+
+    def _extract(self, tar_path: str, extract_dir: str) -> None:
+        marker = os.path.join(extract_dir, ".extraction_complete")
+        if os.path.exists(marker):
+            return
+        if os.path.exists(extract_dir):
+            shutil.rmtree(extract_dir)  # incomplete extraction: redo
+        os.makedirs(extract_dir)
+        with tarfile.open(tar_path, "r:*") as tf:
+            tf.extractall(extract_dir, filter="data")
+        open(marker, "w").close()
+
+    def _find_audio(self, extract_dir: str, audio_id: str) -> Optional[str]:
+        for dirpath, _, files in os.walk(extract_dir):
+            for f in files:
+                if os.path.splitext(f)[0] == audio_id:
+                    return os.path.join(dirpath, f)
+        return None
+
+    def process_entry(self, entry: Dict, extract_dir: str) -> Dict:
+        audio_id = entry["audio_id"]
+        text_dict = entry.get("text", {})
+        path = self._find_audio(extract_dir, audio_id)
+        if path is None:
+            logger.warning("Audio file not found for %s", audio_id)
+            return entry
+        audio, sr = decode_audio(path)
+        ids, segments = slice_chunks(
+            np.asarray(self.engine.prepare_audio(audio, sr)),  # resample to 24 kHz once
+            text_dict,
+            self.sample_rate,
+        )
+        codes_dict: Dict[str, List[List[int]]] = {}
+        if segments:
+            codes_list = self.engine.encode_batch(
+                segments, sr=self.sample_rate
+            )  # >cap chunks split+concat inside
+            for cid, codes in zip(ids, codes_list):
+                codes_dict[cid] = codes.astype(np.uint16).tolist()
+        entry = dict(entry)
+        entry["codes"] = codes_dict
+        if not codes_dict:
+            logger.warning("Audio %s has 0 valid chunks after filtering", audio_id)
+        return entry
+
+    def process(
+        self, tar_path: str, text_json_path: str, output_path: str
+    ) -> List[Dict]:
+        extract_dir = os.path.join(
+            self.work_dir, os.path.basename(tar_path).split(".")[0] + "_extracted"
+        )
+        self._extract(tar_path, extract_dir)
+        with open(text_json_path) as f:
+            metadata = json.load(f)
+
+        # resume: adopt completed entries from a partial output (:549-562)
+        existing = read_json(output_path, [])
+        done = {
+            e["audio_id"]: e
+            for e in (existing or [])
+            if "codes" in e and e["codes"]
+        }
+        out: List[Dict] = []
+        since_save = 0
+        for entry in metadata:
+            if entry["audio_id"] in done:
+                out.append(done[entry["audio_id"]])
+                continue
+            out.append(self.process_entry(entry, extract_dir))
+            since_save += 1
+            if since_save >= self.save_every:
+                atomic_write_json(output_path, out)
+                since_save = 0
+        atomic_write_json(output_path, out)
+        shutil.rmtree(extract_dir, ignore_errors=True)
+        os.unlink(tar_path)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Shard orchestration
+# ---------------------------------------------------------------------------
+
+class Yodas2ShardProcessor:
+    def __init__(
+        self,
+        shard_id: str,
+        source: Yodas2Source,
+        hub,
+        engine: MimiEncoderEngine,
+        work_dir: str,
+        progress_dir: str,
+        max_subshards: int = 1000,
+        max_consecutive_missing: int = 10,
+        upload_batch_size: int = 10,
+        save_every: int = 10,
+        output_prefix: str = "data",
+    ):
+        self.shard_id = shard_id
+        self.source = source
+        self.hub = hub
+        self.work_dir = os.path.join(work_dir, shard_id)
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.progress = ShardProgress(progress_dir, shard_id)
+        self.sub = SubShardProcessor(engine, self.work_dir, save_every=save_every)
+        self.max_subshards = max_subshards
+        self.max_consecutive_missing = max_consecutive_missing
+        self.upload_batch_size = upload_batch_size
+        self.output_prefix = output_prefix
+        self._pending: List[Tuple[str, str, str]] = []  # (sid, local, repo)
+
+    def _repo_path(self, subshard_id: str) -> str:
+        return f"{self.output_prefix}/{self.shard_id}/{subshard_id}.json"
+
+    def _flush(self) -> int:
+        if not self._pending:
+            return 0
+        self.hub.upload_batch([(lp, rp) for _, lp, rp in self._pending])
+        for sid, lp, _ in self._pending:
+            self.progress.mark_completed(sid)
+            try:
+                os.unlink(lp)
+            except FileNotFoundError:
+                pass
+        n = len(self._pending)
+        self._pending.clear()
+        return n
+
+    def scan_and_queue_local(self) -> int:
+        """Startup scan: queue complete local outputs that never uploaded
+        (:851-915); delete incomplete ones."""
+        queued = 0
+        for f in sorted(os.listdir(self.work_dir)):
+            if not f.endswith(".out.json") or ".tmp." in f:
+                continue
+            sid = f[: -len(".out.json")]
+            local = os.path.join(self.work_dir, f)
+            if self.progress.is_completed(sid) or self.hub.exists(self._repo_path(sid)):
+                os.unlink(local)
+                continue
+            if is_json_complete(local):
+                self._pending.append((sid, local, self._repo_path(sid)))
+                queued += 1
+            else:
+                os.unlink(local)
+        return queued
+
+    def process(self) -> Dict:
+        report = {"processed": 0, "skipped": 0, "missing": 0, "failed": 0, "uploaded": 0}
+        report["uploaded"] += 0 if not self.scan_and_queue_local() else self._flush()
+        consecutive_missing = 0
+        retry = set(self.progress.failed)
+        for i in range(self.max_subshards):
+            sid = f"{i:08d}"
+            if self.progress.is_completed(sid) and sid not in retry:
+                report["skipped"] += 1
+                consecutive_missing = 0
+                continue
+            if self.hub.exists(self._repo_path(sid)):
+                self.progress.mark_completed(sid)
+                report["skipped"] += 1
+                consecutive_missing = 0
+                continue
+            if not self.source.available(self.shard_id, sid):
+                report["missing"] += 1
+                consecutive_missing += 1
+                if consecutive_missing >= self.max_consecutive_missing:
+                    logger.info(
+                        "%d consecutive missing sub-shards; stopping enumeration "
+                        "(sparse tail, process_shard.py:1060-1069)",
+                        consecutive_missing,
+                    )
+                    break
+                continue
+            consecutive_missing = 0
+            try:
+                tar_path, txt_path = self.source.fetch(self.shard_id, sid, self.work_dir)
+                out_path = os.path.join(self.work_dir, f"{sid}.out.json")
+                self.sub.process(tar_path, txt_path, out_path)
+                os.unlink(txt_path)
+                self._pending.append((sid, out_path, self._repo_path(sid)))
+                report["processed"] += 1
+                if len(self._pending) >= self.upload_batch_size:
+                    report["uploaded"] += self._flush()
+            except Exception:  # noqa: BLE001 — per-subshard isolation, retried on restart
+                logger.exception("sub-shard %s failed", sid)
+                self.progress.mark_failed(sid)
+                report["failed"] += 1
+        report["uploaded"] += self._flush()
+        return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shard-id", required=True)
+    ap.add_argument("--source", required=True, help="dir:/mirror or hf:org/repo")
+    ap.add_argument("--hub", required=True)
+    ap.add_argument("--work-dir", default="/tmp/ta_yodas2")
+    ap.add_argument("--progress-dir", required=True)
+    ap.add_argument("--params", default=None)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--samples-per-batch", type=int, default=None)
+    ap.add_argument("--max-subshards", type=int, default=1000)
+    ap.add_argument("--upload-batch-size", type=int, default=10)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
+
+    cfg = MimiConfig()
+    params = (
+        params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
+    )
+    engine = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(batch_size=args.batch_size, samples_per_batch=args.samples_per_batch),
+        num_codebooks=cfg.num_quantizers,  # store ALL books; slice downstream
+    )
+    if args.source.startswith("dir:"):
+        source: Yodas2Source = LocalSource(args.source[4:])
+    else:
+        source = HubSource(open_hub(args.source))
+    proc = Yodas2ShardProcessor(
+        args.shard_id,
+        source,
+        open_hub(args.hub),
+        engine,
+        args.work_dir,
+        args.progress_dir,
+        max_subshards=args.max_subshards,
+        upload_batch_size=args.upload_batch_size,
+    )
+    print(json.dumps(proc.process()))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,9 @@ class MimiEncoderEngine:
                 audio = np.asarray(resample(audio, sr, self.engine_cfg.sample_rate))
         return audio
 
+    # public alias: normalize + resample to the engine sample rate
+    prepare_audio = _prepare
+
     # -- public API --------------------------------------------------------
 
     def encode_batch(

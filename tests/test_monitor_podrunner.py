@@ -1,0 +1,108 @@
+"""Monitor CLI classification/verify/missing + pod-runner fan-out."""
+
+import json
+import os
+import sys
+import time
+
+import pytest
+
+from tokenize_audio_tpu.hub import LocalHub
+from tokenize_audio_tpu.runner.monitor import (
+    missing_report,
+    scan_progress_dir,
+    shard_status,
+    verify_against_hub,
+)
+from tokenize_audio_tpu.runner.pod_runner import main as pod_main
+from tokenize_audio_tpu.runner.progress import ShardProgress
+
+
+def test_shard_status_taxonomy():
+    assert shard_status({"completed": [], "failed": []}, 10)["status"] == "not_started"
+    s = shard_status({"completed": ["a"], "failed": []}, 4)
+    assert s["status"] == "in_progress (1/4, 25.0%)"
+    assert shard_status({"completed": list("abcd"), "failed": []}, 4)["status"] == "completed"
+
+
+def test_scan_verify_missing(tmp_path):
+    prog_dir = str(tmp_path / "prog")
+    p = ShardProgress(prog_dir, "en000")
+    p.mark_completed("00000000")
+    p.mark_completed("00000001")
+    p.mark_failed("00000002")
+
+    rows = scan_progress_dir(prog_dir, {"en000": 3})
+    assert rows[0]["shard_id"] == "en000"
+    assert rows[0]["completed"] == 2 and rows[0]["failed"] == 1
+
+    hub = LocalHub(str(tmp_path / "hub"))
+    src = tmp_path / "f.json"
+    src.write_text("{}")
+    hub.upload_file(str(src), "data/en000/00000000.json")
+    problems = verify_against_hub(prog_dir, hub, "data/{shard}/{unit}.json")
+    assert [pr["unit"] for pr in problems] == ["00000001"]
+
+    missing = missing_report(
+        {"en000": ["00000000", "00000005"]}, hub, "data/{shard}/{unit}.json"
+    )
+    assert missing == {"en000": ["00000005"]}
+
+
+def test_monitor_cli_status_and_list_incomplete(tmp_path, capsys):
+    from tokenize_audio_tpu.runner.monitor import main as mon_main
+
+    prog_dir = str(tmp_path / "prog")
+    ShardProgress(prog_dir, "s1").mark_completed("u0")
+    ShardProgress(prog_dir, "s2").save()
+    exp = tmp_path / "exp.json"
+    exp.write_text(json.dumps({"s1": 1, "s2": 5}))
+    inc = str(tmp_path / "inc.txt")
+    mon_main(
+        ["status", "--progress-dir", prog_dir, "--expected", str(exp), "--list-incomplete", inc]
+    )
+    out = capsys.readouterr().out
+    assert "1/2 shards completed" in out
+    assert open(inc).read().strip() == "s2"
+
+
+def test_pod_runner_fanout_and_skip(tmp_path):
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("s1\ns2\ns3\n")
+    run_dir = str(tmp_path / "run")
+    log_dir = str(tmp_path / "logs")
+    prog_dir = str(tmp_path / "prog")
+    # mark s2 completed via meta.done
+    p = ShardProgress(prog_dir, "s2")
+    p.meta["done"] = True
+    p.save()
+
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list",
+            str(shard_list),
+            "--max-concurrent",
+            "2",
+            "--poll-seconds",
+            "0.1",
+            "--run-dir",
+            run_dir,
+            "--log-dir",
+            log_dir,
+            "--progress-dir",
+            prog_dir,
+            "--wait",
+            "--",
+            sys.executable,
+            "-c",
+            f"open(r'{marker_dir}'+'/{{shard}}.done','w').write('ok'); print('ran {{shard}}')",
+        ]
+    )
+    assert rc == 0
+    assert sorted(os.listdir(marker_dir)) == ["s1.done", "s3.done"]  # s2 skipped
+    assert "ran s1" in open(os.path.join(log_dir, "s1.log")).read()
+    # pidfile cleaned up as jobs exit
+    assert json.load(open(os.path.join(run_dir, "jobs.json"))) == {}

@@ -1,0 +1,259 @@
+"""Emilia shard processor (standard + conversational variants).
+
+Capability equivalent of ``emilia-mimi/process_shard.py`` (686 lines) and
+``process_shard_conversational.py``: fetch ``{split}/{lang}/{shard}.tar``,
+extract audio+JSON metadata pairs with a completion marker (:351-405),
+accumulate-to-batch encode with an ``audio_str`` cache JSON saved every
+``cache_interval`` files for mid-shard resume (:231-268, :516-519), group
+utterances ``{LANG}_{Bshard}_{Sspeaker}_{Wutt}`` into per-speaker documents
+(:543-580), emit `_type1`+`_type2` rows (conversational: `[n]` speaker-turn
+tags by first appearance with ``speaker_ids``/``speaker_count`` columns and
+type1 only, conversational:556-596), and upload
+``{split}/{lang}/{shard}.parquet`` with post-upload verification (:606-633).
+
+Note: real Emilia archives hold mp3; this processor decodes whatever
+``tokenize_audio_tpu.io.decode_audio`` supports (wav built-in; register an
+mp3 decoder for the production corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import tarfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tokenize_audio_tpu.config import CODEBOOK_SIZE, UNICODE_OFFSET_LARGE
+from tokenize_audio_tpu.core.codes import codes_to_chars
+from tokenize_audio_tpu.datasets.base import interleaved_type1, interleaved_type2
+from tokenize_audio_tpu.datasets.parquet_utils import write_parquet
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+from tokenize_audio_tpu.hub import open_hub
+from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.runner import atomic_write_json, read_json
+
+logger = logging.getLogger(__name__)
+
+
+def speaker_document_id(utterance_id: str) -> str:
+    """EN_B00000_S00040_W000004 -> EN_B00000_S00040 (process_shard.py:543-554)."""
+    return "_".join(utterance_id.split("_")[:-1])
+
+
+def group_documents(utterance_ids: List[str]) -> Dict[str, List[str]]:
+    docs: Dict[str, List[str]] = {}
+    for uid in utterance_ids:
+        docs.setdefault(speaker_document_id(uid), []).append(uid)
+    return docs
+
+
+def build_rows(
+    utterances: Dict[str, Dict],
+    split: str,
+    shard_id: str,
+    conversational: bool = False,
+) -> List[Dict]:
+    """utterances: {utt_id: {"audio_str", "transcript", "speaker"?}} ->
+    document rows."""
+    rows: List[Dict] = []
+    split_name = f"{split}-{shard_id}"
+    for doc_id, uids in group_documents(list(utterances)).items():
+        if conversational:
+            mapping: Dict[str, int] = {}
+            tags: List[int] = []
+            chunks: List[Tuple[str, str]] = []
+            for uid in uids:
+                u = utterances[uid]
+                speaker = u["speaker"]
+                if not speaker.startswith("SPEAKER_"):
+                    raise ValueError(f"Speaker ID {speaker} does not start with 'SPEAKER_'")
+                mapping.setdefault(speaker, len(mapping))
+                tags.append(mapping[speaker])
+                chunks.append((u["transcript"].strip(), u["audio_str"].strip()))
+            rows.append(
+                {
+                    "id": doc_id,
+                    "split": split_name,
+                    "text": interleaved_type1(chunks, speaker_tags=tags),
+                    "speaker_ids": tags,
+                    "speaker_count": len(set(tags)),
+                }
+            )
+        else:
+            chunks = [
+                (utterances[uid]["transcript"], utterances[uid]["audio_str"]) for uid in uids
+            ]
+            rows.append(
+                {"id": f"{doc_id}_type1", "split": split_name, "text": interleaved_type1(chunks)}
+            )
+            rows.append(
+                {"id": f"{doc_id}_type2", "split": split_name, "text": interleaved_type2(chunks)}
+            )
+    return rows
+
+
+class EmiliaShardProcessor:
+    def __init__(
+        self,
+        split: str,
+        lang: str,
+        shard_id: str,
+        source_hub,
+        target_hub,
+        engine: MimiEncoderEngine,
+        work_dir: str,
+        cache_interval: int = 50,
+        conversational: bool = False,
+    ):
+        self.split, self.lang, self.shard_id = split, lang, shard_id
+        self.source_hub, self.target_hub = source_hub, target_hub
+        self.engine = engine
+        self.work_dir = os.path.join(work_dir, shard_id)
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.cache_interval = cache_interval
+        self.conversational = conversational
+        self.cache_path = os.path.join(self.work_dir, "audio_str_cache.json")
+
+    @property
+    def target_path(self) -> str:
+        return f"{self.split}/{self.lang}/{self.shard_id}.parquet"
+
+    @property
+    def source_path(self) -> str:
+        return f"{self.split}/{self.lang}/{self.shard_id}.tar"
+
+    def is_already_processed(self) -> bool:
+        return self.target_hub.exists(self.target_path)
+
+    def _extract(self) -> str:
+        extract_dir = os.path.join(self.work_dir, "extracted")
+        marker = os.path.join(extract_dir, ".extraction_complete")
+        if os.path.exists(marker):
+            return extract_dir
+        if os.path.exists(extract_dir):
+            shutil.rmtree(extract_dir)
+        local_tar = os.path.join(self.work_dir, f"{self.shard_id}.tar")
+        self.source_hub.download(self.source_path, local_tar)
+        os.makedirs(extract_dir)
+        with tarfile.open(local_tar, "r:*") as tf:
+            tf.extractall(extract_dir, filter="data")
+        open(marker, "w").close()
+        os.unlink(local_tar)  # delete tar after extraction (:442)
+        return extract_dir
+
+    def _collect_pairs(self, extract_dir: str) -> List[Tuple[str, str, str]]:
+        """(utterance_id, audio_path, json_path), sorted by utterance id."""
+        pairs = []
+        for dirpath, _, files in os.walk(extract_dir):
+            for f in files:
+                base, ext = os.path.splitext(f)
+                if ext == ".json":
+                    for aext in (".mp3", ".wav", ".flac"):
+                        apath = os.path.join(dirpath, base + aext)
+                        if os.path.exists(apath):
+                            pairs.append((base, apath, os.path.join(dirpath, f)))
+                            break
+        return sorted(pairs)
+
+    def process(self) -> Dict:
+        if self.is_already_processed():
+            return {"shard": self.shard_id, "status": "skipped"}
+        extract_dir = self._extract()
+        pairs = self._collect_pairs(extract_dir)
+        cache: Dict[str, Dict] = read_json(self.cache_path, {}) or {}
+
+        todo = [p for p in pairs if p[0] not in cache]
+        batch: List[Tuple[str, np.ndarray, Dict]] = []
+        since_cache = 0
+
+        def flush_batch():
+            nonlocal since_cache
+            if not batch:
+                return
+            codes = self.engine.encode_batch([a for _, a, _ in batch])
+            for (uid, _, meta), c in zip(batch, codes):
+                cache[uid] = {
+                    "audio_str": codes_to_chars(
+                        c[:8], CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
+                    ),
+                    "transcript": meta.get("text", ""),
+                    "speaker": meta.get("speaker", ""),
+                }
+            batch.clear()
+
+        for uid, apath, jpath in todo:
+            with open(jpath) as f:
+                meta = json.load(f)
+            audio, sr = decode_audio(apath)
+            batch.append((uid, self.engine.prepare_audio(audio, sr), meta))
+            if len(batch) >= self.engine.engine_cfg.batch_size:
+                flush_batch()
+            since_cache += 1
+            if since_cache >= self.cache_interval:
+                atomic_write_json(self.cache_path, cache)
+                since_cache = 0
+        flush_batch()
+        atomic_write_json(self.cache_path, cache)
+
+        rows = build_rows(
+            cache, self.split, self.shard_id, conversational=self.conversational
+        )
+        local_out = os.path.join(self.work_dir, f"{self.shard_id}.parquet")
+        write_parquet(rows, local_out)
+        self.target_hub.upload_file(local_out, self.target_path)
+        if not self.target_hub.exists(self.target_path):
+            raise RuntimeError(f"upload verification failed: {self.target_path}")
+        os.unlink(local_out)
+        shutil.rmtree(extract_dir, ignore_errors=True)
+        os.unlink(self.cache_path)
+        return {"shard": self.shard_id, "status": "processed", "rows": len(rows)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--split", default="Emilia")
+    ap.add_argument("--lang", required=True)
+    ap.add_argument("--shard-id", required=True)
+    ap.add_argument("--source-hub", required=True)
+    ap.add_argument("--target-hub", required=True)
+    ap.add_argument("--work-dir", default="/tmp/ta_emilia")
+    ap.add_argument("--conversational", action="store_true")
+    ap.add_argument("--params", default=None)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--cache-interval", type=int, default=50)
+    args = ap.parse_args(argv)
+    from tokenize_audio_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    logging.basicConfig(level=logging.INFO)
+
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
+
+    cfg = MimiConfig()
+    params = (
+        params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
+    )
+    engine = MimiEncoderEngine(params, cfg, EngineConfig(batch_size=args.batch_size))
+    proc = EmiliaShardProcessor(
+        args.split,
+        args.lang,
+        args.shard_id,
+        open_hub(args.source_hub),
+        open_hub(args.target_hub),
+        engine,
+        args.work_dir,
+        cache_interval=args.cache_interval,
+        conversational=args.conversational,
+    )
+    print(json.dumps(proc.process()))
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,9 @@ def main(argv=None):
     ap.add_argument("--upload-batch-size", type=int, default=4)
     args = ap.parse_args(argv)
 
+    from tokenize_audio_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     with open(args.manifest) as f:
         manifest = json.load(f)

@@ -364,6 +364,9 @@ def main(argv=None):
     ap.add_argument("--max-subshards", type=int, default=1000)
     ap.add_argument("--upload-batch-size", type=int, default=10)
     args = ap.parse_args(argv)
+    from tokenize_audio_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     logging.basicConfig(level=logging.INFO)
 
     from tokenize_audio_tpu.config import EngineConfig

@@ -76,6 +76,12 @@ class MimiEncoderEngine:
                 )
             params = replicate_params(params, mesh)
             self._batch_sharding = batch_sharding(mesh)
+        else:
+            # place params on device once; passing host numpy params would
+            # re-transfer ~80 MB of weights on every encode call
+            import jax as _jax
+
+            params = _jax.device_put(params)
         self.params = params
         self.mesh = mesh
 

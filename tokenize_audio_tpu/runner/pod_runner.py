@@ -1,0 +1,155 @@
+"""Shard job fan-out runner — the TPU-pod replacement for the reference's
+Slurm submit layer (SURVEY §2.1 #22-23: submit_shard.sh /
+submit_all_shards*.sh / cancel_all_jobs.sh / job templates).
+
+One shard per worker process (in production: one shard per TPU host; the
+coordination plane stays shared-nothing — progress files + the artifact
+hub, exactly like the reference's Slurm jobs). Provides:
+
+  - ``run``: read a shard list, launch ``--cmd`` per shard with ``{shard}``
+    substitution, throttle to ``--max-concurrent`` (submit_all_shards.sh
+    polling loop, emilia-mimi/submit_all_shards.sh:104-143), skip shards
+    whose progress ledger says completed or that are already running
+    (skip-if-queued, :82-97), per-shard log files, pidfile registry;
+  - ``cancel``: kill every live job in the pidfile registry
+    (cancel_all_jobs.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+import signal
+import subprocess
+import sys
+import time
+from typing import Dict, List
+
+from tokenize_audio_tpu.runner.progress import read_json
+
+
+def _pidfile(run_dir: str) -> str:
+    return os.path.join(run_dir, "jobs.json")
+
+
+def _load_jobs(run_dir: str) -> Dict[str, int]:
+    return read_json(_pidfile(run_dir), {}) or {}
+
+
+def _save_jobs(run_dir: str, jobs: Dict[str, int]) -> None:
+    os.makedirs(run_dir, exist_ok=True)
+    with open(_pidfile(run_dir), "w") as f:
+        json.dump(jobs, f)
+
+
+def _alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except (ProcessLookupError, PermissionError):
+        return False
+
+
+def shard_completed(progress_dir: str, shard: str, expected_units: int | None = None) -> bool:
+    state = read_json(os.path.join(progress_dir, f"{shard}_progress.json"), None)
+    if not state:
+        return False
+    completed = len(state.get("completed", []))
+    if expected_units is not None:
+        return completed >= expected_units
+    return bool(state.get("meta", {}).get("done"))
+
+
+def run(args) -> int:
+    with open(args.shard_list) as f:
+        shards = [line.strip() for line in f if line.strip() and not line.startswith("#")]
+    os.makedirs(args.log_dir, exist_ok=True)
+    jobs = {s: pid for s, pid in _load_jobs(args.run_dir).items() if _alive(pid)}
+    launched = skipped = 0
+    procs: Dict[str, subprocess.Popen] = {}
+
+    def poll():
+        for s, p in list(procs.items()):
+            if p.poll() is not None:
+                print(f"[pod-runner] shard {s} exited with {p.returncode}")
+                del procs[s]
+                jobs.pop(s, None)
+                _save_jobs(args.run_dir, jobs)
+
+    for shard in shards:
+        if shard in jobs:  # skip-if-queued
+            print(f"[pod-runner] {shard}: already running (pid {jobs[shard]})")
+            skipped += 1
+            continue
+        if args.progress_dir and shard_completed(args.progress_dir, shard):
+            print(f"[pod-runner] {shard}: already completed")
+            skipped += 1
+            continue
+        while len(procs) >= args.max_concurrent:
+            poll()
+            time.sleep(args.poll_seconds)
+        cmd = [c.replace("{shard}", shard) for c in args.cmd]
+        log_path = os.path.join(args.log_dir, f"{shard}.log")
+        log_f = open(log_path, "a")
+        p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT)
+        procs[shard] = p
+        jobs[shard] = p.pid
+        _save_jobs(args.run_dir, jobs)
+        print(f"[pod-runner] launched {shard} (pid {p.pid}) -> {log_path}")
+        launched += 1
+
+    rc = 0
+    if args.wait:
+        while procs:
+            poll()
+            time.sleep(args.poll_seconds)
+    print(f"[pod-runner] launched={launched} skipped={skipped}")
+    return rc
+
+
+def cancel(args) -> int:
+    jobs = _load_jobs(args.run_dir)
+    killed = 0
+    for shard, pid in jobs.items():
+        if _alive(pid):
+            print(f"[pod-runner] killing {shard} (pid {pid})")
+            try:
+                os.kill(pid, signal.SIGTERM)
+                killed += 1
+            except ProcessLookupError:
+                pass
+    _save_jobs(args.run_dir, {})
+    print(f"[pod-runner] killed {killed} jobs")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="action", required=True)
+
+    r = sub.add_parser("run")
+    r.add_argument("--shard-list", required=True)
+    r.add_argument("--max-concurrent", type=int, default=1)
+    r.add_argument("--poll-seconds", type=float, default=5.0)
+    r.add_argument("--run-dir", default="/tmp/ta_pod")
+    r.add_argument("--log-dir", default="/tmp/ta_pod/logs")
+    r.add_argument("--progress-dir", default=None)
+    r.add_argument("--wait", action="store_true")
+    r.add_argument("cmd", nargs=argparse.REMAINDER,
+                   help="command template after '--'; {shard} is substituted")
+
+    c = sub.add_parser("cancel")
+    c.add_argument("--run-dir", default="/tmp/ta_pod")
+
+    args = ap.parse_args(argv)
+    if args.action == "run":
+        if args.cmd and args.cmd[0] == "--":
+            args.cmd = args.cmd[1:]
+        return run(args)
+    return cancel(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

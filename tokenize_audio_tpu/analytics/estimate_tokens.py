@@ -1,0 +1,122 @@
+"""Corpus token-count estimation by sampling + extrapolation.
+
+Capability equivalent of ``pretraining-data/estimate_tokens.py`` (sample N
+rows, tokenize, extrapolate via total row counts, :85-170),
+``estimate_tokens_by_language.py`` (per-group estimates), and
+``estimate_tokens_stratified.py`` (weights from a known row distribution).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import tempfile
+from typing import Dict, List, Optional, Sequence
+
+from tokenize_audio_tpu.analytics.count_rows import count_parquet_rows
+from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
+
+
+class TokenEstimator:
+    def __init__(self, tokenizer, text_field: str = "text"):
+        """``tokenizer``: any callable-compatible HF tokenizer (or an object
+        with .encode returning a list)."""
+        self.tokenizer = tokenizer
+        self.text_field = text_field
+
+    def count_tokens(self, texts: Sequence[str]) -> int:
+        total = 0
+        for t in texts:
+            enc = self.tokenizer.encode(t)
+            total += len(enc if isinstance(enc, list) else enc.ids)
+        return total
+
+    def estimate_hub_dataset(
+        self,
+        hub,
+        prefix: str = "",
+        sample_rows: int = 200,
+        seed: int = 0,
+        group_depth: int = 0,
+    ) -> Dict[str, Dict]:
+        """Per group: sample rows across files, mean tokens/row x total rows
+        (estimate_tokens.py extrapolation)."""
+        rng = random.Random(seed)
+        files = [f for f in hub.list_files(prefix) if f.endswith(".parquet")]
+        groups: Dict[str, List[str]] = {}
+        for f in files:
+            key = "/".join(f.split("/")[:group_depth]) if group_depth else "all"
+            groups.setdefault(key, []).append(f)
+        out: Dict[str, Dict] = {}
+        for key, gfiles in sorted(groups.items()):
+            total_rows = 0
+            sampled_texts: List[str] = []
+            per_file = max(1, sample_rows // len(gfiles))
+            for f in gfiles:
+                with tempfile.TemporaryDirectory() as td:
+                    local = os.path.join(td, "x.parquet")
+                    hub.download(f, local)
+                    total_rows += count_parquet_rows(local)
+                    rows = read_parquet(local)
+                take = rows if len(rows) <= per_file else rng.sample(rows, per_file)
+                sampled_texts += [r[self.text_field] for r in take]
+            tokens = self.count_tokens(sampled_texts)
+            mean = tokens / len(sampled_texts) if sampled_texts else 0.0
+            out[key] = {
+                "files": len(gfiles),
+                "total_rows": total_rows,
+                "sampled_rows": len(sampled_texts),
+                "mean_tokens_per_row": round(mean, 2),
+                "estimated_total_tokens": int(mean * total_rows),
+            }
+        return out
+
+    def stratified_estimate(
+        self, samples_by_group: Dict[str, Sequence[str]], rows_by_group: Dict[str, int]
+    ) -> Dict[str, Dict]:
+        """Known row distribution -> per-group + total estimates
+        (estimate_tokens_stratified.py semantics)."""
+        out: Dict[str, Dict] = {}
+        total = 0
+        for g, texts in samples_by_group.items():
+            mean = self.count_tokens(texts) / len(texts) if texts else 0.0
+            est = int(mean * rows_by_group.get(g, 0))
+            out[g] = {"mean_tokens_per_row": round(mean, 2), "estimated_total_tokens": est}
+            total += est
+        out["_total"] = {"estimated_total_tokens": total}
+        return out
+
+
+def main(argv=None):
+    from tokenize_audio_tpu.hub import open_hub
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--hub", required=True)
+    ap.add_argument("--prefix", default="")
+    ap.add_argument("--tokenizer", required=True, help="HF tokenizer name/path")
+    ap.add_argument("--sample-rows", type=int, default=200)
+    ap.add_argument("--group-depth", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    est = TokenEstimator(tok)
+    print(
+        json.dumps(
+            est.estimate_hub_dataset(
+                open_hub(args.hub),
+                args.prefix,
+                sample_rows=args.sample_rows,
+                seed=args.seed,
+                group_depth=args.group_depth,
+            ),
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,57 @@ def convert_hf_state_dict(
             sd, "quantizer.acoustic_residual_vector_quantizer", cfg.num_acoustic_quantizers
         ),
     }
+
+    # --- decoder side (for codes -> audio round trips) -------------------
+    if "upsample.conv.weight" in sd:
+        params["upsample"] = {"w": _np(sd["upsample.conv.weight"])}
+        dec_tfm = []
+        for i in range(cfg.num_hidden_layers):
+            p = f"decoder_transformer.layers.{i}"
+            dec_tfm.append(
+                {
+                    "ln1_w": _np(sd[f"{p}.input_layernorm.weight"]),
+                    "ln1_b": _np(sd[f"{p}.input_layernorm.bias"]),
+                    "q": _np(sd[f"{p}.self_attn.q_proj.weight"]),
+                    "k": _np(sd[f"{p}.self_attn.k_proj.weight"]),
+                    "v": _np(sd[f"{p}.self_attn.v_proj.weight"]),
+                    "o": _np(sd[f"{p}.self_attn.o_proj.weight"]),
+                    "ls1": _np(sd[f"{p}.self_attn_layer_scale.scale"]),
+                    "ln2_w": _np(sd[f"{p}.post_attention_layernorm.weight"]),
+                    "ln2_b": _np(sd[f"{p}.post_attention_layernorm.bias"]),
+                    "fc1": _np(sd[f"{p}.mlp.fc1.weight"]),
+                    "fc2": _np(sd[f"{p}.mlp.fc2.weight"]),
+                    "ls2": _np(sd[f"{p}.mlp_layer_scale.scale"]),
+                }
+            )
+        params["dec_tfm"] = dec_tfm
+        # MimiDecoder layer indices (modeling_mimi.py:1150-1174): conv_in at 0,
+        # then per ratio ELU / ConvTranspose / n_res resnets, final ELU + conv.
+        dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.layers.0.conv")}
+        dblocks = []
+        idx = 1
+        for _ in cfg.upsampling_ratios:
+            up_idx = idx + 1  # skip ELU slot
+            up = {
+                "w": _np(sd[f"decoder.layers.{up_idx}.conv.weight"]),
+                "b": _np(sd[f"decoder.layers.{up_idx}.conv.bias"])
+                if f"decoder.layers.{up_idx}.conv.bias" in sd
+                else None,
+            }
+            res = []
+            for j in range(n_res):
+                base = up_idx + 1 + j
+                res.append(
+                    {
+                        "c1": _conv(sd, f"decoder.layers.{base}.block.1.conv"),
+                        "c2": _conv(sd, f"decoder.layers.{base}.block.3.conv"),
+                    }
+                )
+            dblocks.append({"up": up, "res": res})
+            idx = up_idx + n_res + 1  # next ELU slot
+        dec["blocks"] = dblocks
+        dec["conv_out"] = _conv(sd, f"decoder.layers.{idx + 1}.conv")
+        params["dec"] = dec
     return params
 
 

@@ -106,3 +106,25 @@ def test_pod_runner_fanout_and_skip(tmp_path):
     assert "ran s1" in open(os.path.join(log_dir, "s1.log")).read()
     # pidfile cleaned up as jobs exit
     assert json.load(open(os.path.join(run_dir, "jobs.json"))) == {}
+
+
+def test_manifest_generation(tmp_path):
+    from tokenize_audio_tpu.runner.manifests import (
+        shard_list_from_hub,
+        unit_counts_from_hub,
+        write_shard_list,
+    )
+
+    hub = LocalHub(str(tmp_path / "hub2"))
+    f = tmp_path / "x.json"
+    f.write_text("{}")
+    for shard, n in (("en000", 3), ("en001", 1)):
+        for i in range(n):
+            hub.upload_file(str(f), f"data/{shard}/{i:08d}.json")
+    shards = shard_list_from_hub(hub, "data/")
+    assert shards == ["en000", "en001"]
+    counts = unit_counts_from_hub(hub, "data/")
+    assert counts == {"en000": 3, "en001": 1}
+    out = str(tmp_path / "list.txt")
+    write_shard_list(shards, out)
+    assert open(out).read() == "en000\nen001\n"

@@ -1,0 +1,38 @@
+"""Pallas RVQ kernel equality vs the XLA path (and the torch oracle)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.mimi_fixtures import make_oracle, tiny_hf_config
+from tokenize_audio_tpu.mimi.model import encode, rvq_quantize
+from tokenize_audio_tpu.ops.pallas.rvq import rvq_quantize_pallas
+
+import dataclasses
+
+
+def test_kernel_matches_xla_path(rng):
+    n, d, k, v = 300, 16, 4, 64  # deliberately off-block-size n
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    embeds = jnp.asarray(rng.standard_normal((k, v, d)).astype(np.float32))
+    got = np.asarray(rvq_quantize_pallas(x, embeds, interpret=True))
+    ref = np.asarray(rvq_quantize(x[None], embeds))[0].T  # (N, K)
+    assert got.shape == (n, k)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_full_encode_with_pallas_backend(rng):
+    model, params, cfg = make_oracle(tiny_hf_config())
+    cfg_p = dataclasses.replace(cfg, rvq_backend="pallas")
+    audio = (rng.standard_normal(2 * 1920) * 0.3).astype(np.float32)[None, :]
+    got, _ = encode(params, cfg_p, jnp.asarray(audio), jnp.asarray([audio.shape[1]]))
+    with torch.no_grad():
+        ref = (
+            model.encode(torch.from_numpy(audio[0])[None, None, :])
+            .audio_codes[0, :8]
+            .numpy()
+        )
+    assert (np.asarray(got)[0] == ref).all()

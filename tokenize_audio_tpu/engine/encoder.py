@@ -51,7 +51,9 @@ class MimiEncoderEngine:
         mesh=None,
         num_codebooks: Optional[int] = None,
         masked: bool = True,
+        pipeline_depth: int = 2,
     ):
+        self.pipeline_depth = pipeline_depth
         self.cfg = cfg or MimiConfig()
         self.engine_cfg = engine_cfg or EngineConfig()
         self.num_codebooks = num_codebooks or self.engine_cfg.num_codebooks
@@ -95,38 +97,42 @@ class MimiEncoderEngine:
             v = jax.device_put(v, self._batch_sharding)
         return b, v
 
-    def _encode_bucket(self, utterances: Sequence[np.ndarray], bucket: int) -> List[np.ndarray]:
-        """Encode a same-bucket group, padding the batch dim to a static size
-        (and to a multiple of the data-mesh axis)."""
+    def _dispatch(self, utterances: Sequence[np.ndarray], bucket: int):
+        """Pad one device batch and launch the (async) encode. Returns the
+        in-flight (codes, valid, n_real) device handles."""
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         bs = self.engine_cfg.batch_size_for_bucket(bucket, multiple_of=dp)
-        out: List[np.ndarray] = []
-        for start in range(0, len(utterances), bs):
-            group = list(utterances[start : start + bs])
-            n_real = len(group)
-            # always pad the batch dim to the static batch size: one compiled
-            # program per bucket, and the dp axis always divides evenly
-            group += [np.zeros(1, dtype=np.float32)] * (bs - n_real)
-            with self.stats.stage("pad"):
-                batch, lengths = pad_to_bucket(group, bucket)
-            with self.stats.stage("encode"):
-                b, v = self._device_batch(batch, lengths)
-                codes, valid = mimi_encode(
-                    self.params,
-                    self.cfg,
-                    b,
-                    v,
-                    num_quantizers=self.num_codebooks,
-                    masked=self.masked,
-                )
-                codes = np.asarray(jax.device_get(codes))
-                valid = np.asarray(jax.device_get(valid))
-            self.stats.padded_frames += codes.shape[0] * codes.shape[2]
-            with self.stats.stage("trim"):
-                for i in range(n_real):
-                    f = int(valid[i])
-                    out.append(codes[i, :, :f])
-                    self.stats.frames += f
+        group = list(utterances)
+        n_real = len(group)
+        # pad the batch dim to the static batch size: one compiled program
+        # per bucket, and the dp axis always divides evenly
+        group += [np.zeros(1, dtype=np.float32)] * (bs - n_real)
+        with self.stats.stage("pad"):
+            batch, lengths = pad_to_bucket(group, bucket)
+        with self.stats.stage("dispatch"):
+            b, v = self._device_batch(batch, lengths)
+            codes, valid = mimi_encode(
+                self.params,
+                self.cfg,
+                b,
+                v,
+                num_quantizers=self.num_codebooks,
+                masked=self.masked,
+            )
+        return codes, valid, n_real
+
+    def _collect(self, handle) -> List[np.ndarray]:
+        """Block on an in-flight batch and trim per-row codes."""
+        codes_d, valid_d, n_real = handle
+        with self.stats.stage("fetch"):
+            codes = np.asarray(jax.device_get(codes_d))
+            valid = np.asarray(jax.device_get(valid_d))
+        self.stats.padded_frames += codes.shape[0] * codes.shape[2]
+        out = []
+        for i in range(n_real):
+            f = int(valid[i])
+            out.append(codes[i, :, :f])
+            self.stats.frames += f
         return out
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
@@ -159,9 +165,9 @@ class MimiEncoderEngine:
             self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
             self.stats.utterances += 1
 
-        # group by bucket, encode, restore order
+        # group by bucket and chunk into device batches
         order = sorted(range(len(pieces)), key=lambda j: len(pieces[j]))
-        results: List[Optional[np.ndarray]] = [None] * len(pieces)
+        jobs: List[tuple] = []  # (bucket, [piece indices])
         j = 0
         while j < len(order):
             bucket = bucket_for_length(len(pieces[order[j]]), self.buckets)
@@ -169,9 +175,29 @@ class MimiEncoderEngine:
             while j < len(order) and len(pieces[order[j]]) <= bucket:
                 group_idx.append(order[j])
                 j += 1
-            group_codes = self._encode_bucket([pieces[g] for g in group_idx], bucket)
-            for g, c in zip(group_idx, group_codes):
+            dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+            bs = self.engine_cfg.batch_size_for_bucket(bucket, multiple_of=dp)
+            for s in range(0, len(group_idx), bs):
+                jobs.append((bucket, group_idx[s : s + bs]))
+
+        # pipelined execution: keep up to pipeline_depth batches in flight so
+        # host-side padding and result fetch overlap device compute (the
+        # host-concurrency role of the reference's ThreadPoolExecutor,
+        # yodas2-mimi/process_shard.py:690-717, done JAX-async instead)
+        results: List[Optional[np.ndarray]] = [None] * len(pieces)
+        inflight: List[tuple] = []  # (handle, idxs)
+
+        def drain_one():
+            handle, idxs = inflight.pop(0)
+            for g, c in zip(idxs, self._collect(handle)):
                 results[g] = c
+
+        for bucket, idxs in jobs:
+            inflight.append((self._dispatch([pieces[g] for g in idxs], bucket), idxs))
+            if len(inflight) > self.pipeline_depth:
+                drain_one()
+        while inflight:
+            drain_one()
 
         # reassemble per-utterance codes (concat split pieces on time axis)
         out: List[List[np.ndarray]] = [[] for _ in prepared]

@@ -52,6 +52,10 @@ class MimiConfig:
     # default here is full causal attention; set use_sliding_window=True for
     # the original kyutai semantics / long-stream efficiency.
     use_sliding_window: bool = False
+    # RVQ backend: "xla" (lax ops) or "pallas" (fused distance+argmin+update
+    # kernel, tokenize_audio_tpu/ops/pallas/rvq.py). Both produce identical
+    # codes; pallas keeps the whole chain in VMEM with per-book prefetch.
+    rvq_backend: str = "xla"
 
     @property
     def frame_rate(self) -> float:

@@ -257,22 +257,29 @@ def rvq_quantize(residual: jax.Array, embeds: jax.Array) -> jax.Array:
 
 
 def split_rvq_encode(
-    params: Params, emb: jax.Array, num_quantizers: int
+    params: Params, emb: jax.Array, num_quantizers: int, backend: str = "xla"
 ) -> jax.Array:
     """(B, hidden, T) -> codes (B, K, T).
     Mirrors MimiSplitResidualVectorQuantizer.encode (modeling_mimi.py:1318-1345):
     semantic RVQ on the projected embeddings, acoustic RVQ *also on the
     original embeddings* (not the semantic residual)."""
+    if backend == "pallas":
+        from tokenize_audio_tpu.ops.pallas.rvq import rvq_encode_pallas
+
+        interpret = jax.default_backend() == "cpu"
+        quantize = functools.partial(rvq_encode_pallas, interpret=interpret)
+    else:
+        quantize = rvq_quantize
     x = emb.transpose(0, 2, 1)  # (B, T, hidden)
     sem = params["semantic"]
     n_sem = sem["embed"].shape[0]
     sem_in = jnp.einsum("btc,dc->btd", x, sem["in_proj"], precision=_HIGHEST)
-    codes = rvq_quantize(sem_in, sem["embed"][: min(n_sem, num_quantizers)])
+    codes = quantize(sem_in, sem["embed"][: min(n_sem, num_quantizers)])
     n_ac = num_quantizers - codes.shape[1]
     if n_ac > 0:
         ac = params["acoustic"]
         ac_in = jnp.einsum("btc,dc->btd", x, ac["in_proj"], precision=_HIGHEST)
-        ac_codes = rvq_quantize(ac_in, ac["embed"][:n_ac])
+        ac_codes = quantize(ac_in, ac["embed"][:n_ac])
         codes = jnp.concatenate([codes, ac_codes], axis=1)
     return codes
 
@@ -312,5 +319,5 @@ def encode(
     x, valid = causal_conv1d(
         x, valid, params["downsample"]["w"], None, stride=2, pad_mode="replicate"
     )
-    codes = split_rvq_encode(params["rvq"], x, num_quantizers)
+    codes = split_rvq_encode(params["rvq"], x, num_quantizers, backend=cfg.rvq_backend)
     return codes.astype(jnp.int32), valid

@@ -128,3 +128,24 @@ def test_manifest_generation(tmp_path):
     out = str(tmp_path / "list.txt")
     write_shard_list(shards, out)
     assert open(out).read() == "en000\nen001\n"
+
+
+def test_monitor_live_workdir(tmp_path, capsys):
+    from tokenize_audio_tpu.runner.monitor import live_workdir_report, main as mon_main
+
+    work = tmp_path / "work" / "en000"
+    work.mkdir(parents=True)
+    (work / "00000001.out.json").write_text(
+        json.dumps([{"audio_id": "a", "codes": {"c": [[1]]}}, {"audio_id": "b"}])
+    )
+    rep = live_workdir_report(str(tmp_path / "work"))
+    assert rep == [
+        {
+            "file": "en000/00000001.out.json",
+            "entries": 2,
+            "encoded": 1,
+            "complete": False,
+        }
+    ]
+    assert mon_main(["live", "--work-dir", str(tmp_path / "work")]) == 0
+    assert '"encoded": 1' in capsys.readouterr().out

@@ -92,6 +92,29 @@ def missing_report(
     return missing
 
 
+def live_workdir_report(work_dir: str) -> List[Dict]:
+    """Inspect in-flight sub-shard outputs in a work dir, counting encoded
+    entries inside each output JSON (yodas2-mimi/monitor_live.py:13-62)."""
+    out = []
+    for dirpath, _, files in os.walk(work_dir):
+        for f in sorted(files):
+            if not f.endswith(".out.json") or ".tmp." in f:
+                continue
+            path = os.path.join(dirpath, f)
+            data = read_json(path, [])
+            entries = data if isinstance(data, list) else []
+            encoded = sum(1 for e in entries if e.get("codes"))
+            out.append(
+                {
+                    "file": os.path.relpath(path, work_dir),
+                    "entries": len(entries),
+                    "encoded": encoded,
+                    "complete": bool(entries) and encoded == len(entries),
+                }
+            )
+    return out
+
+
 def _print_table(rows: List[Dict]) -> None:
     if not rows:
         print("(no progress files)")
@@ -125,7 +148,14 @@ def main(argv=None):
     ms.add_argument("--template", required=True)
     ms.add_argument("--save-missing", default=None)
 
+    lv = sub.add_parser("live")
+    lv.add_argument("--work-dir", required=True)
+
     args = ap.parse_args(argv)
+    if args.cmd == "live":
+        report = live_workdir_report(args.work_dir)
+        print(json.dumps(report, indent=1))
+        return 0
     if args.cmd == "status":
         expected = read_json(args.expected) if args.expected else None
         while True:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 from collections import defaultdict
-from typing import Dict, List
+from typing import Dict
 
 
 def count_parquet_rows(path: str) -> int:

@@ -13,7 +13,7 @@ import json
 import os
 import random
 import tempfile
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from tokenize_audio_tpu.analytics.count_rows import count_parquet_rows
 from tokenize_audio_tpu.datasets.parquet_utils import read_parquet

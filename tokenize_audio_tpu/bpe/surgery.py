@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Optional
 
 
 def rename_token_in_place(tokenizer_dir: str, old: str, new: str, out_dir: str) -> None:

@@ -24,7 +24,7 @@ import logging
 import os
 import shutil
 import tarfile
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

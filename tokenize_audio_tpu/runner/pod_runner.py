@@ -20,12 +20,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shlex
 import signal
 import subprocess
 import sys
 import time
-from typing import Dict, List
+from typing import Dict
 
 from tokenize_audio_tpu.runner.progress import read_json
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 from tokenize_audio_tpu.hub.base import ArtifactStore
 from tokenize_audio_tpu.runner.progress import ShardProgress

@@ -139,3 +139,20 @@ def test_num_quantizers_slicing(oracle, rng):
     got = np.asarray(got)
     per_book = (got == ref).all(axis=(0, 2))
     assert per_book.all(), f"32-book exact match: {per_book}"
+
+
+def test_bf16_fast_mode_runs_and_is_close(oracle, rng):
+    """compute_dtype=bfloat16 is an opt-in throughput mode: codes are not
+    bit-guaranteed; assert the mode runs and stays close on the oracle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    _, params, cfg = oracle
+    audio = rand_audio(rng, 2 * SPF)[None, :]
+    v = jnp.asarray([audio.shape[1]])
+    c32, _ = encode(params, cfg, jnp.asarray(audio), v)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    c16, _ = encode(params, cfg16, jnp.asarray(audio), v)
+    match = (np.asarray(c32) == np.asarray(c16)).mean()
+    assert match > 0.7, f"bf16 match rate collapsed: {match}"

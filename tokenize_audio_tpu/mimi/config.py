@@ -56,6 +56,13 @@ class MimiConfig:
     # kernel, tokenize_audio_tpu/ops/pallas/rvq.py). Both produce identical
     # codes; pallas keeps the whole chain in VMEM with per-book prefetch.
     rvq_backend: str = "xla"
+    # "float32" (default): bit-exact codes vs HF MimiModel.encode fp32.
+    # "bfloat16": SEANet + transformer compute in bf16 on the MXU fast path
+    # (LayerNorm/softmax/RoPE/RVQ stay f32); codes are NOT guaranteed
+    # bit-identical — bench/tests report the measured match rate. Opt in for
+    # throughput when a small code-flip rate near quantization boundaries
+    # is acceptable.
+    compute_dtype: str = "float32"
 
     @property
     def frame_rate(self) -> float:

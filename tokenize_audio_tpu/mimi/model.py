@@ -97,7 +97,8 @@ def causal_conv1d(
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_HIGHEST,
+        # HIGHEST keeps f32 bit-parity; bf16 fast mode uses the native MXU path
+        precision=_HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
     )
     if b is not None:
         y = y + b[None, :, None]
@@ -173,9 +174,12 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 
 
 def _layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+    out = (x - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return out.astype(dt)
 
 
 def _attention_mask(cfg: MimiConfig, t: int) -> jax.Array:
@@ -197,33 +201,36 @@ def transformer_apply(params: Params, cfg: MimiConfig, h: jax.Array) -> jax.Arra
     b, t, c = h.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     scale = 1.0 / np.sqrt(cfg.head_dim)
-    cos, sin = _rope_tables(cfg, t)
-    cos_b = cos[None, None, :, :]
-    sin_b = sin[None, None, :, :]
-    mask = _attention_mask(cfg, t)[None, None, :, :]
+    dt = h.dtype
+    prec = _HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    cos, sin = _rope_tables(cfg, t)  # f32, like MimiRotaryEmbedding
+    cos_b = cos[None, None, :, :].astype(dt)
+    sin_b = sin[None, None, :, :].astype(dt)
+    mask = _attention_mask(cfg, t)[None, None, :, :].astype(dt)
 
     for lp in params:
         x = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
-        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=_HIGHEST)
-        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=_HIGHEST)
-        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=_HIGHEST)
+        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=prec)
+        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=prec)
+        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=prec)
         q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         q = q * cos_b + _rotate_half(q) * sin_b
         k = k * cos_b + _rotate_half(k) * sin_b
-        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HIGHEST) * scale
+        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec) * scale
         aw = aw + mask
-        aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1)
-        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v, precision=_HIGHEST)
+        # fp32 softmax then back to the compute dtype (MimiAttention:684-685)
+        aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).astype(dt)
+        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v, precision=prec)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=_HIGHEST)
+        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=prec)
         h = h + lp["ls1"] * att
 
         x = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
-        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=_HIGHEST)
+        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=prec)
         x = jax.nn.gelu(x, approximate=False)
-        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=_HIGHEST)
+        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=prec)
         h = h + lp["ls2"] * x
     return h
 
@@ -307,7 +314,26 @@ def encode(
     sample counts; pass None (or masked=False) for HF pad-to-length
     semantics.
     """
-    x = audio[:, None, :].astype(jnp.float32)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if dt != jnp.float32:
+        # cast the conv/transformer weights at trace time; RVQ stays f32
+        def _cast(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dt)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                tree,
+            )
+
+        params = {
+            **params,
+            "enc_in": _cast(params["enc_in"]),
+            "blocks": _cast(params["blocks"]),
+            "enc_out": _cast(params["enc_out"]),
+            "tfm": _cast(params["tfm"]),
+            "downsample": _cast(params["downsample"]),
+        }
+    x = audio[:, None, :].astype(dt)
     if not masked:
         valid = None
     x, valid = seanet_encode(params, cfg, x, valid)
@@ -315,9 +341,11 @@ def encode(
     x = h.transpose(0, 2, 1)
     if valid is not None:
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
-        x = jnp.where(pos < valid[:, None, None], x, 0.0)
+        x = jnp.where(pos < valid[:, None, None], x, jnp.zeros((), dt))
     x, valid = causal_conv1d(
         x, valid, params["downsample"]["w"], None, stride=2, pad_mode="replicate"
     )
-    codes = split_rvq_encode(params["rvq"], x, num_quantizers, backend=cfg.rvq_backend)
+    codes = split_rvq_encode(
+        params["rvq"], x.astype(jnp.float32), num_quantizers, backend=cfg.rvq_backend
+    )
     return codes.astype(jnp.int32), valid

@@ -36,7 +36,7 @@ def main():
     params = random_params(cfg, seed=0)
     ecfg = EngineConfig(
         min_bucket_seconds=2.0,
-        bucket_growth=2.0,  # buckets: 2,4,8,16,32,60 s — few shapes, <=2x pad waste
+        bucket_growth=1.45,  # 11 buckets; tail groups shrink to power-of-2 batches
         samples_per_batch=192 * 24_000,  # ~3.2 min of audio per device call (~4.6M samples; fits 16G HBM with XLA temps)
         max_batch_size=128,
     )

@@ -83,3 +83,16 @@ class EngineConfig:
             b = min(b, self.max_batch_size)
         b = max(multiple_of, b // multiple_of * multiple_of)
         return b
+
+    def batch_size_for_group(
+        self, bucket_len: int, n_real: int, multiple_of: int = 1
+    ) -> int:
+        """Static batch size for a (possibly tail) group: the bucket's full
+        batch size, shrunk to the next power of two >= n_real. Bounds the
+        compiled-program set to ~log2(batch) variants per bucket while
+        eliminating most padded-row waste on partially-filled batches."""
+        full = self.batch_size_for_bucket(bucket_len, multiple_of)
+        b = multiple_of
+        while b < min(n_real, full):
+            b *= 2
+        return min(b, full) if b >= multiple_of else full

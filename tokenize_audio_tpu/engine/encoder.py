@@ -101,11 +101,11 @@ class MimiEncoderEngine:
         """Pad one device batch and launch the (async) encode. Returns the
         in-flight (codes, valid, n_real) device handles."""
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
-        bs = self.engine_cfg.batch_size_for_bucket(bucket, multiple_of=dp)
         group = list(utterances)
         n_real = len(group)
-        # pad the batch dim to the static batch size: one compiled program
-        # per bucket, and the dp axis always divides evenly
+        # static power-of-two batch size >= n_real (bounded program set per
+        # bucket, dp axis divides evenly, minimal padded-row waste)
+        bs = self.engine_cfg.batch_size_for_group(bucket, n_real, multiple_of=dp)
         group += [np.zeros(1, dtype=np.float32)] * (bs - n_real)
         with self.stats.stage("pad"):
             batch, lengths = pad_to_bucket(group, bucket)

@@ -17,6 +17,7 @@ tolerance-based (float waveform output, not discrete codes).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -70,8 +71,6 @@ def conv_transpose1d(
     )
     if bias is not None:
         y = y + bias[None, :, None]
-    import math
-
     pad_total = k - stride
     pad_right = math.ceil(pad_total * trim_right_ratio)
     pad_left = pad_total - pad_right

@@ -62,7 +62,7 @@ def convert_hf_state_dict(
 
     blocks = []
     idx = 1
-    for stride in cfg.encoder_strides:
+    for _ in cfg.encoder_strides:  # strides are static config, not params
         res = []
         for j in range(n_res):
             res.append(
@@ -71,7 +71,6 @@ def convert_hf_state_dict(
                     "c2": _conv(sd, f"encoder.layers.{idx + j}.block.3.conv"),
                 }
             )
-        del stride  # stride is static config (cfg.encoder_strides), not a param
         down_idx = idx + n_res + 1  # +1 skips the ELU module slot
         blocks.append({"res": res, "down": _conv(sd, f"encoder.layers.{down_idx}.conv")})
         idx = down_idx + 1
@@ -240,6 +239,44 @@ def random_params(cfg: MimiConfig | None = None, seed: int = 0) -> Dict[str, Any
             "embed": w(cfg.num_acoustic_quantizers, cfg.codebook_size, d, scale=1.0),
         },
     }
+
+    # decoder side (codes -> audio)
+    params["upsample"] = {"w": w(hs, 1, 4)}  # depthwise ConvTranspose (in, out/groups, k)
+    params["dec_tfm"] = [
+        {
+            "ln1_w": np.ones(hs, np.float32),
+            "ln1_b": np.zeros(hs, np.float32),
+            "q": w(nh * hd, hs),
+            "k": w(nh * hd, hs),
+            "v": w(nh * hd, hs),
+            "o": w(hs, nh * hd),
+            "ls1": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
+            "ln2_w": np.ones(hs, np.float32),
+            "ln2_b": np.zeros(hs, np.float32),
+            "fc1": w(inter, hs),
+            "fc2": w(hs, inter),
+            "ls2": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    scaling = 2 ** len(cfg.upsampling_ratios)
+    cur = scaling * nf
+    dec: Dict[str, Any] = {"conv_in": {"w": w(cur, hs, cfg.kernel_size), "b": w(cur)}}
+    dblocks = []
+    for r in cfg.upsampling_ratios:
+        nxt = cur // 2
+        res = [
+            {
+                "c1": {"w": w(nxt // cfg.compress, nxt, cfg.residual_kernel_size), "b": w(nxt // cfg.compress)},
+                "c2": {"w": w(nxt, nxt // cfg.compress, 1), "b": w(nxt)},
+            }
+            for _ in range(cfg.num_residual_layers)
+        ]
+        dblocks.append({"up": {"w": w(cur, nxt, 2 * r), "b": w(nxt)}, "res": res})
+        cur = nxt
+    dec["blocks"] = dblocks
+    dec["conv_out"] = {"w": w(cfg.audio_channels, cur, cfg.last_kernel_size), "b": w(cfg.audio_channels)}
+    params["dec"] = dec
     return params
 
 

@@ -115,3 +115,36 @@ def test_engine_mesh_batch_divisibility(tiny_oracle):
     _, params, cfg = tiny_oracle
     with pytest.raises(ValueError, match="divide evenly"):
         MimiEncoderEngine(params, cfg, EngineConfig(batch_size=3), mesh=make_mesh(dp=8))
+
+
+def test_split_with_context_matches_contextful_reference(tiny_oracle, rng):
+    """Context mode: piece i>=1 is encoded with ctx seconds of real left
+    context; the dropped frames equal a torch encode of the contextful
+    window."""
+    model, params, cfg = tiny_oracle
+    cap_s, ctx_s = 1.0, 0.4  # ctx rounds down to 0.32 s (4 frames)
+    eng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(
+            batch_size=2,
+            min_bucket_seconds=0.5,
+            max_chunk_seconds=cap_s,
+            split_context_seconds=ctx_s,
+        ),
+    )
+    n = int(24_000 * 2.3)
+    audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    got = eng.encode_chunk(audio)
+    assert got.shape[1] == -(-n // SPF)
+
+    cap = int(24_000 * cap_s) // SPF * SPF  # engine rounds cap to whole frames
+    ctx = int(ctx_s * 24_000) // SPF * SPF
+    refs = [ref_codes(model, audio[:cap])]
+    for start in range(cap, n, cap):
+        window = audio[start - ctx : start + cap]
+        full = ref_codes(model, window)
+        refs.append(full[:, ctx // SPF :])
+    ref = np.concatenate(refs, axis=1)
+    assert got.shape == ref.shape
+    assert (got == ref).all()

@@ -156,3 +156,25 @@ def test_bf16_fast_mode_runs_and_is_close(oracle, rng):
     c16, _ = encode(params, cfg16, jnp.asarray(audio), v)
     match = (np.asarray(c32) == np.asarray(c16)).mean()
     assert match > 0.7, f"bf16 match rate collapsed: {match}"
+
+
+def test_weight_norm_folding(oracle, rng):
+    """A checkpoint with weight_norm parametrizations converts to the same
+    params as the plain-weight export."""
+    import torch as _torch
+
+    from tokenize_audio_tpu.mimi.weights import params_from_torch_model
+
+    model, params_plain, cfg = oracle
+    import copy
+
+    m2 = copy.deepcopy(model)
+    for layer in [m2.encoder.layers[0], m2.encoder.layers[3]]:
+        layer.apply_weight_norm()
+    params_wn = params_from_torch_model(m2)
+    np.testing.assert_allclose(
+        params_wn["enc_in"]["w"], params_plain["enc_in"]["w"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        params_wn["blocks"][0]["down"]["w"], params_plain["blocks"][0]["down"]["w"], atol=1e-6
+    )

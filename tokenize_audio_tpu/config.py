@@ -70,6 +70,10 @@ class EngineConfig:
     # activation memory). None -> fixed batch_size for every bucket.
     samples_per_batch: int | None = None
     max_batch_size: int = 128
+    # >0: pieces of >cap audio carry this much left-context (encoded then
+    # dropped), restoring receptive field across the 60 s cuts the reference
+    # hard-breaks. 0 = exact reference split semantics.
+    split_context_seconds: float = 0.0
 
     @property
     def max_chunk_samples(self) -> int:

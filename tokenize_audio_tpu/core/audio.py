@@ -218,3 +218,27 @@ def split_long_audio(
     if len(audio) <= max_samples:
         return [audio]
     return [audio[i : i + max_samples] for i in range(0, len(audio), max_samples)]
+
+
+def split_long_audio_with_context(
+    audio: np.ndarray,
+    max_samples: int,
+    context_samples: int,
+    samples_per_frame: int = SAMPLES_PER_FRAME,
+) -> list[tuple[np.ndarray, int]]:
+    """Split with left-context overlap: piece i >= 1 carries ``context``
+    extra leading samples whose frames are encoded then dropped, restoring
+    (approximate) receptive field across the cut — a quality upgrade over
+    the reference's hard cuts, opt-in via EngineConfig.split_context_seconds.
+
+    Returns (piece, leading_frames_to_drop) pairs. cap and context are
+    rounded to whole frames so dropped frames stay aligned."""
+    cap = max(samples_per_frame, max_samples // samples_per_frame * samples_per_frame)
+    ctx = context_samples // samples_per_frame * samples_per_frame
+    if len(audio) <= cap or ctx <= 0:
+        return [(p, 0) for p in split_long_audio(audio, cap)]
+    out: list[tuple[np.ndarray, int]] = [(audio[:cap], 0)]
+    for start in range(cap, len(audio), cap):
+        lo = start - ctx
+        out.append((audio[lo : start + cap], ctx // samples_per_frame))
+    return out

@@ -35,7 +35,7 @@ from tokenize_audio_tpu.core.audio import (
     pad_to_bucket,
     pcm_to_float,
     resample,
-    split_long_audio,
+    split_long_audio_with_context,
 )
 from tokenize_audio_tpu.engine.metrics import EngineStats
 from tokenize_audio_tpu.mimi.config import MimiConfig
@@ -61,7 +61,7 @@ class MimiEncoderEngine:
         self.stats = EngineStats()
         self.buckets = make_buckets(
             self.engine_cfg.min_bucket_seconds,
-            self.engine_cfg.max_chunk_seconds,
+            self.engine_cfg.max_chunk_seconds + self.engine_cfg.split_context_seconds,
             self.engine_cfg.bucket_growth,
             self.engine_cfg.sample_rate,
             self.cfg.samples_per_frame,
@@ -157,11 +157,16 @@ class MimiEncoderEngine:
         # explode >cap audio into pieces, remembering the mapping
         pieces: List[np.ndarray] = []
         piece_of: List[int] = []
+        piece_drop: List[int] = []  # leading context frames to discard
         cap = self.engine_cfg.max_chunk_samples
+        ctx = int(self.engine_cfg.split_context_seconds * self.engine_cfg.sample_rate)
         for i, a in enumerate(prepared):
-            for p in split_long_audio(a, cap):
+            for p, drop in split_long_audio_with_context(
+                a, cap, ctx, self.cfg.samples_per_frame
+            ):
                 pieces.append(p)
                 piece_of.append(i)
+                piece_drop.append(drop)
             self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
             self.stats.utterances += 1
 
@@ -199,10 +204,13 @@ class MimiEncoderEngine:
         while inflight:
             drain_one()
 
-        # reassemble per-utterance codes (concat split pieces on time axis)
+        # reassemble per-utterance codes (concat split pieces on time axis,
+        # dropping overlap-context frames when configured)
         out: List[List[np.ndarray]] = [[] for _ in prepared]
         for p_idx, owner in enumerate(piece_of):
-            out[owner].append(results[p_idx])
+            c = results[p_idx]
+            drop = piece_drop[p_idx]
+            out[owner].append(c[:, drop:] if drop else c)
         return [
             parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
             for parts in out

@@ -25,8 +25,20 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
+def _conv_weight(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """Plain weight, or fold torch weight_norm parametrizations
+    (w = g * v / ||v||, norm over all dims but 0) if the checkpoint kept
+    them (MimiConv1d.apply_weight_norm, modeling_mimi.py:252-257)."""
+    if f"{prefix}.weight" in sd:
+        return _np(sd[f"{prefix}.weight"])
+    g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+    v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    norm = np.sqrt(np.sum(v * v, axis=tuple(range(1, v.ndim)), keepdims=True))
+    return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
 def _conv(sd: Mapping[str, Any], prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
-    out = {"w": _np(sd[f"{prefix}.weight"])}
+    out = {"w": _conv_weight(sd, prefix)}
     out["b"] = _np(sd[f"{prefix}.bias"]) if bias else None
     return out
 

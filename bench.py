@@ -37,7 +37,7 @@ def main():
     ecfg = EngineConfig(
         min_bucket_seconds=2.0,
         bucket_growth=1.45,  # 11 buckets; tail groups shrink to power-of-2 batches
-        samples_per_batch=192 * 24_000,  # ~3.2 min of audio per device call (~4.6M samples; fits 16G HBM with XLA temps)
+        samples_per_batch=192 * 24_000,  # ~3.2 min of audio per device call; larger budgets measured slower (HBM pressure)
         max_batch_size=128,
     )
     engine = MimiEncoderEngine(params, cfg, ecfg)

@@ -1,0 +1,64 @@
+"""Streaming encoder: chunked push == one-shot encode, bit for bit."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.mimi_fixtures import make_oracle, tiny_hf_config
+from tokenize_audio_tpu.mimi.model import encode
+from tokenize_audio_tpu.mimi.streaming import StreamingMimiEncoder
+
+SPF = 1920
+
+
+@pytest.fixture(scope="module")
+def tiny_oracle():
+    return make_oracle(tiny_hf_config())
+
+
+def one_shot(params, cfg, audio):
+    a = audio[None] if audio.ndim == 1 else audio
+    n = a.shape[1]
+    pad = -(-n // SPF) * SPF - n
+    a = np.pad(a, ((0, 0), (0, pad)))
+    codes, valid = encode(params, cfg, jnp.asarray(a), jnp.asarray([n] * a.shape[0]))
+    return np.asarray(codes)[:, :, : int(np.asarray(valid)[0])]
+
+
+def test_stream_equals_one_shot_aligned(tiny_oracle, rng):
+    _, params, cfg = tiny_oracle
+    audio = (rng.standard_normal(12 * SPF) * 0.3).astype(np.float32)
+    enc = StreamingMimiEncoder(params, cfg, chunk_seconds=4 * SPF / 24_000)
+    got = enc.encode_stream(audio)
+    ref = one_shot(params, cfg, audio)[0]
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
+def test_stream_equals_one_shot_ragged_tail(tiny_oracle, rng):
+    """Final partial chunk (odd 25 Hz length) exercises the masked
+    replicate-pad path mid-stream."""
+    _, params, cfg = tiny_oracle
+    n = 7 * SPF + 1000  # not chunk- or frame-aligned
+    audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    enc = StreamingMimiEncoder(params, cfg, chunk_seconds=3 * SPF / 24_000)
+    got = enc.encode_stream(audio)
+    ref = one_shot(params, cfg, audio)[0]
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
+def test_stream_incremental_push(tiny_oracle, rng):
+    _, params, cfg = tiny_oracle
+    audio = (rng.standard_normal(6 * SPF) * 0.3).astype(np.float32)
+    enc = StreamingMimiEncoder(params, cfg, chunk_seconds=2 * SPF / 24_000)
+    enc.reset()
+    parts = [enc.push(audio[i : i + enc.chunk_samples]) for i in range(0, len(audio), enc.chunk_samples)]
+    got = np.concatenate([p[0] for p in parts], axis=1)
+    ref = one_shot(params, cfg, audio)[0]
+    assert (got == ref).all()
+    # reset gives a fresh stream (same first-chunk codes)
+    enc.reset()
+    again = enc.push(audio[: enc.chunk_samples])[0]
+    assert (again == parts[0][0]).all()

@@ -1,0 +1,332 @@
+"""Streaming Mimi encoder: chunked encode with carried state.
+
+Matches HF's ``use_streaming=True`` capability (MimiConv1dPaddingCache +
+encoder KV cache, modeling_mimi.py:76-158, 1555-1584) the TPU way: one
+jitted step function over static shapes, with
+
+  - per-conv-layer left-context caches (the last ``pad_total`` inputs of
+    each causal conv) instead of zero padding — chunk boundaries become
+    invisible to the conv stack;
+  - a fixed-capacity transformer KV cache (full causal attention over all
+    pushed frames, like HF's growing cache, bounded by ``max_frames``);
+  - the replicate-padded 25->12.5 Hz downsample seeds its first cache from
+    the first frame, exactly like MimiConv1dPaddingCache's replicate mode.
+
+Chunk sizes are whole Mimi frames, so every strided conv stays aligned and
+no mid-stream right-padding exists; a final partial chunk uses the same
+valid-length masking as batch encode. Codes equal the one-shot encode of
+the full stream (tests pin bit-equality on the oracle), so arbitrarily long
+audio encodes in bounded memory WITHOUT the reference's hard 60 s receptive
+-field cuts (yodas2-mimi/process_shard.py:436-493) — up to the
+``max_position_embeddings`` horizon that bounds HF itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tokenize_audio_tpu.mimi.config import MimiConfig
+from tokenize_audio_tpu.mimi.model import (
+    _HIGHEST,
+    _elu,
+    _layer_norm,
+    _rope_tables,
+    _rotate_half,
+    split_rvq_encode,
+)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Cached causal conv
+# ---------------------------------------------------------------------------
+
+def _cached_conv(
+    x: jax.Array,
+    cache: jax.Array,  # (B, C, pad_total)
+    w: jax.Array,
+    b: Optional[jax.Array],
+    stride: int = 1,
+    dilation: int = 1,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Conv over [cache | x]; returns (y, new_cache, new_valid).
+
+    ``valid`` (final partial chunk): positions >= valid in x are zeros and
+    outputs beyond ceil(valid/stride) are re-zeroed, reproducing the batch
+    engine's masked standalone-padding semantics within the chunk.
+    """
+    pad_total = (w.shape[-1] - 1) * dilation + 1 - stride
+    xc = jnp.concatenate([cache, x], axis=-1) if pad_total > 0 else x
+    y = jax.lax.conv_general_dilated(
+        xc,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    new_cache = xc[:, :, xc.shape[-1] - pad_total :] if pad_total > 0 else cache
+    new_valid = None
+    if valid is not None:
+        new_valid = -(-valid // stride)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, y.shape[-1]), 2)
+        y = jnp.where(pos < new_valid[:, None, None], y, 0.0)
+    return y, new_cache, new_valid
+
+
+def _conv_layer_shapes(cfg: MimiConfig) -> List[Tuple[int, int]]:
+    """(in_channels, pad_total) for every cached conv in traversal order:
+    enc_in, per block [res c1, res c2, down], enc_out, downsample."""
+    shapes: List[Tuple[int, int]] = [(cfg.audio_channels, cfg.kernel_size - 1)]
+    dim = cfg.num_filters
+    for stride in cfg.encoder_strides:
+        for j in range(cfg.num_residual_layers):
+            d = cfg.dilation_growth_rate**j
+            shapes.append((dim, (cfg.residual_kernel_size - 1) * d))
+            shapes.append((dim // cfg.compress, 0))  # k=1 conv: no cache
+        shapes.append((dim, 2 * stride - stride))
+        dim *= 2
+    shapes.append((dim, cfg.last_kernel_size - 1))
+    shapes.append((cfg.hidden_size, 2))  # 25->12.5 Hz downsample (k=4, s=2)
+    return shapes
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class StreamState:
+    conv_caches: List[jax.Array]
+    kv: jax.Array  # (L, 2, B, H, M, hd)
+    t_off: jax.Array  # scalar int32: frames (25 Hz) already pushed
+    is_first: jax.Array  # scalar bool: replicate cache not yet seeded
+
+
+jax.tree_util.register_dataclass(
+    StreamState,
+    data_fields=["conv_caches", "kv", "t_off", "is_first"],
+    meta_fields=[],
+)
+
+
+def init_state(cfg: MimiConfig, batch: int, max_frames_25hz: int = 8000) -> StreamState:
+    caches = [
+        jnp.zeros((batch, c, p), dtype=jnp.float32) for c, p in _conv_layer_shapes(cfg)
+    ]
+    kv = jnp.zeros(
+        (
+            cfg.num_hidden_layers,
+            2,
+            batch,
+            cfg.num_attention_heads,
+            max_frames_25hz,
+            cfg.head_dim,
+        ),
+        dtype=jnp.float32,
+    )
+    return StreamState(caches, kv, jnp.int32(0), jnp.bool_(True))
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+def _transformer_step(
+    params: List[Dict], cfg: MimiConfig, h: jax.Array, kv: jax.Array, t_off: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    b, f, c = h.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    m = kv.shape[-2]
+    scale = 1.0 / np.sqrt(hd)
+    # RoPE at absolute positions t_off..t_off+f
+    cos_all, sin_all = _rope_tables(cfg, m)
+    pos = t_off + jnp.arange(f)
+    cos = cos_all[pos][None, None]
+    sin = sin_all[pos][None, None]
+    # causal mask: new query i attends keys j <= t_off + i
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 1)
+    ipos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 0)
+    neg = jnp.finfo(jnp.float32).min
+    mask = jnp.where(jpos <= t_off + ipos, 0.0, neg)[None, None]
+
+    new_kv = kv
+    for li, lp in enumerate(params):
+        x = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
+        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=_HIGHEST)
+        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=_HIGHEST)
+        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=_HIGHEST)
+        q = q.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
+        q = q * cos + _rotate_half(q) * sin
+        k = k * cos + _rotate_half(k) * sin
+        k_cache = jax.lax.dynamic_update_slice(
+            new_kv[li, 0], k, (0, 0, t_off, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            new_kv[li, 1], v, (0, 0, t_off, 0)
+        )
+        new_kv = new_kv.at[li, 0].set(k_cache).at[li, 1].set(v_cache)
+        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache, precision=_HIGHEST) * scale
+        aw = aw + mask
+        aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1)
+        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v_cache, precision=_HIGHEST)
+        att = att.transpose(0, 2, 1, 3).reshape(b, f, nh * hd)
+        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=_HIGHEST)
+        h = h + lp["ls1"] * att
+        x = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
+        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=_HIGHEST)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=_HIGHEST)
+        h = h + lp["ls2"] * x
+    return h, new_kv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_quantizers"))
+def stream_step(
+    params: Params,
+    cfg: MimiConfig,
+    state: StreamState,
+    audio: jax.Array,  # (B, chunk_samples), chunk_samples % samples_per_frame == 0
+    valid: jax.Array,  # (B,) valid samples in this chunk (== chunk for full)
+    num_quantizers: int = 8,
+) -> Tuple[jax.Array, jax.Array, StreamState]:
+    caches = list(state.conv_caches)
+    ci = 0
+
+    def conv(x, w, b, stride=1, dilation=1, v=None):
+        nonlocal ci
+        y, caches[ci], nv = _cached_conv(x, caches[ci], w, b, stride, dilation, v)
+        ci += 1
+        return y, nv
+
+    x = audio[:, None, :].astype(jnp.float32)
+    v = valid
+    x, v = conv(x, params["enc_in"]["w"], params["enc_in"]["b"], v=v)
+    for block, stride in zip(params["blocks"], cfg.encoder_strides):
+        for j, res in enumerate(block["res"]):
+            residual = x
+            h = _elu(x)
+            h, _ = conv(
+                h, res["c1"]["w"], res["c1"]["b"], dilation=cfg.dilation_growth_rate**j, v=v
+            )
+            h = _elu(h)
+            h, _ = conv(h, res["c2"]["w"], res["c2"]["b"], v=v)
+            x = residual + h
+        x = _elu(x)
+        x, v = conv(x, block["down"]["w"], block["down"]["b"], stride=stride, v=v)
+    x = _elu(x)
+    x, v = conv(x, params["enc_out"]["w"], params["enc_out"]["b"], v=v)
+
+    h, new_kv = _transformer_step(params["tfm"], cfg, x.transpose(0, 2, 1), state.kv, state.t_off)
+    x = h.transpose(0, 2, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
+    x = jnp.where(pos < v[:, None, None], x, 0.0)
+
+    # replicate-padded downsample: seed the cache from the very first frame
+    # (MimiConv1dPaddingCache replicate mode, modeling_mimi.py:137-147); the
+    # final partial chunk re-creates the standalone replicated extra pad
+    # (a no-op mid-stream, where v is even and extra == 0).
+    ds_cache = jnp.where(
+        state.is_first, jnp.repeat(x[:, :, :1], caches[ci].shape[-1], axis=2), caches[ci]
+    )
+    extra = (-(-v // 2)) * 2 - v
+    last = jnp.take_along_axis(x, jnp.maximum(v - 1, 0)[:, None, None], axis=2)
+    p25 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
+    x = jnp.where(
+        (p25 >= v[:, None, None]) & (p25 < (v + extra)[:, None, None]), last, x
+    )
+    x, caches[ci], v12 = _cached_conv(
+        x, ds_cache, params["downsample"]["w"], None, stride=2, valid=v
+    )
+    ci += 1
+
+    codes = split_rvq_encode(
+        params["rvq"], x.astype(jnp.float32), num_quantizers, backend=cfg.rvq_backend
+    )
+    f25 = audio.shape[-1] // (cfg.samples_per_frame // 2)
+    new_state = StreamState(
+        caches, new_kv, state.t_off + f25, jnp.bool_(False)
+    )
+    return codes.astype(jnp.int32), v12, new_state
+
+
+class StreamingMimiEncoder:
+    """Convenience wrapper: push fixed-size chunks, collect codes.
+
+        enc = StreamingMimiEncoder(params, cfg, chunk_seconds=4.0)
+        codes = enc.encode_stream(audio)           # any length
+        # or incrementally:
+        enc.reset()
+        for chunk in chunks:  out.append(enc.push(chunk))
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: Optional[MimiConfig] = None,
+        batch: int = 1,
+        chunk_seconds: float = 4.0,
+        max_seconds: float = 320.0,
+        num_quantizers: int = 8,
+    ):
+        self.cfg = cfg or MimiConfig()
+        self.params = jax.device_put(params)
+        self.batch = batch
+        spf = self.cfg.samples_per_frame
+        self.chunk_samples = max(spf, int(chunk_seconds * self.cfg.sampling_rate) // spf * spf)
+        self.max_frames_25 = int(max_seconds * self.cfg.sampling_rate) // (spf // 2)
+        self.num_quantizers = num_quantizers
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = init_state(self.cfg, self.batch, self.max_frames_25)
+
+    def push(self, audio: np.ndarray, valid: Optional[np.ndarray] = None) -> np.ndarray:
+        """audio (B, chunk_samples) -> codes (B, K, frames) for this chunk
+        (trimmed to valid frames, which requires equal valid across rows)."""
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if valid is None:
+            valid = np.full((audio.shape[0],), audio.shape[1], dtype=np.int32)
+        codes, v12, self.state = stream_step(
+            self.params,
+            self.cfg,
+            self.state,
+            jnp.asarray(audio),
+            jnp.asarray(valid),
+            num_quantizers=self.num_quantizers,
+        )
+        f = int(np.asarray(v12).max())
+        return np.asarray(codes)[:, :, :f]
+
+    def encode_stream(self, audio: np.ndarray) -> np.ndarray:
+        """(T,) or (B, T) arbitrary-length audio -> (B, K, ceil(T/1920))."""
+        audio = np.asarray(audio, dtype=np.float32)
+        squeeze = audio.ndim == 1
+        if squeeze:
+            audio = audio[None]
+        self.reset()
+        cs = self.chunk_samples
+        out = []
+        for start in range(0, audio.shape[1], cs):
+            chunk = audio[:, start : start + cs]
+            n = chunk.shape[1]
+            if n < cs:
+                chunk = np.pad(chunk, ((0, 0), (0, cs - n)))
+            out.append(self.push(chunk, np.full((audio.shape[0],), n, dtype=np.int32)))
+        codes = np.concatenate(out, axis=2)
+        return codes[0] if squeeze else codes

@@ -1,0 +1,42 @@
+"""Top-level codec CLI (python -m tokenize_audio_tpu)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.mimi_fixtures import make_oracle, tiny_hf_config
+from tokenize_audio_tpu.__main__ import main
+from tokenize_audio_tpu.io import read_wav, write_wav
+
+
+def test_info(tmp_path, rng, capsys):
+    p = str(tmp_path / "a.wav")
+    write_wav(p, (rng.standard_normal(12_000) * 0.2).astype(np.float32), 24_000)
+    assert main(["info", p]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sample_rate"] == 24_000 and out["samples"] == 12_000
+    assert out["frames_at_12_5hz"] == 7
+
+
+def test_encode_decode_roundtrip(tmp_path, rng, monkeypatch, capsys):
+    # patch the param loader so the CLI runs the tiny oracle
+    import tokenize_audio_tpu.__main__ as m
+
+    _, params, cfg = make_oracle(tiny_hf_config())
+    monkeypatch.setattr(
+        "tokenize_audio_tpu.mimi.weights.random_params", lambda c, seed=0: params
+    )
+    monkeypatch.setattr("tokenize_audio_tpu.mimi.MimiConfig", lambda: cfg)
+
+    wav_path = str(tmp_path / "in.wav")
+    write_wav(wav_path, (rng.standard_normal(4000) * 0.2).astype(np.float32), 24_000)
+    codes_path = str(tmp_path / "codes.txt")
+    assert main(["encode", wav_path, "-o", codes_path]) == 0
+    s = open(codes_path).read().strip()
+    assert len(s) == 8 * 3  # 3 frames x 8 books
+
+    out_path = str(tmp_path / "out.wav")
+    assert main(["decode", codes_path, "-o", out_path]) == 0
+    audio, sr = read_wav(out_path)
+    assert sr == 24_000 and audio.shape == (3 * 1920,)

@@ -149,3 +149,37 @@ def test_cli_smoke(tmp_path, rng, tiny_oracle, monkeypatch):
     )
     hub = LocalHub(str(tmp_path / "hub2"))
     assert hub.list_files() == ["data/test-tiny-00000-of-00001.parquet"]
+
+
+def test_devtest_layout(tmp_path, rng, tiny_oracle):
+    """dev/test layout: separate {split}_asr / {split}_tts artifacts."""
+    from tokenize_audio_tpu.datasets.librispeech import process_split_devtest
+
+    manifest = make_corpus(tmp_path, rng, n=3)
+    hub = LocalHub(str(tmp_path / "hub_dt"))
+    rep = process_split_devtest(
+        manifest,
+        "dev-clean",
+        engine_for(tiny_oracle),
+        hub,
+        str(tmp_path / "prog_dt"),
+        str(tmp_path / "work_dt"),
+    )
+    assert rep.processed == 1
+    assert hub.list_files() == [
+        "data/dev-clean_asr.parquet",
+        "data/dev-clean_tts.parquet",
+    ]
+    asr = read_parquet(str(tmp_path / "hub_dt" / "data" / "dev-clean_asr.parquet"))
+    assert [r["id"] for r in asr] == ["dev-0", "dev-1", "dev-2"]
+    assert asr[0]["text"].startswith("<|begin_of_text|><|audio_start|>")
+    # idempotent rerun
+    rep2 = process_split_devtest(
+        manifest,
+        "dev-clean",
+        engine_for(tiny_oracle),
+        hub,
+        str(tmp_path / "prog_dt2"),
+        str(tmp_path / "work_dt"),
+    )
+    assert rep2.skipped == 1

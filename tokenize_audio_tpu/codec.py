@@ -47,6 +47,10 @@ class MimiCodec:
         """audio -> (num_codebooks, frames) int32 codes."""
         return self.engine.encode_chunk(audio, sr=sr)
 
+    def encode_batch(self, audios, sr: int = 24_000):
+        """Many utterances -> list of (num_codebooks, frames) codes."""
+        return self.engine.encode_batch(audios, sr=sr)
+
     def audio_to_str(self, audio: np.ndarray, sr: int = 24_000) -> str:
         codes = self.encode(audio, sr)
         return codes_to_chars(

@@ -63,6 +63,41 @@ def build_rows(entries: Sequence[Dict], engine: MimiEncoderEngine) -> List[Dict]
     return rows
 
 
+def process_split_devtest(
+    manifest: List[Dict],
+    split: str,
+    engine: MimiEncoderEngine,
+    hub,
+    progress_dir: str,
+    work_dir: str,
+):
+    """dev/test layout: two artifacts per split, `{split}_asr` and
+    `{split}_tts` (process_librispeech_dev-test.py:121-171 pushes separate
+    ASR and TTS dataset configs)."""
+    markers = (f"data/{split}_asr.parquet", f"data/{split}_tts.parquet")
+
+    def process(unit: WorkUnit) -> list:
+        rows = build_rows(manifest, engine)
+        tts = [
+            {"id": r["id"][: -len("_type1")], "text": r["text"]}
+            for r in rows
+            if r["id"].endswith("_type1")
+        ]
+        asr = [
+            {"id": r["id"][: -len("_type2")], "text": r["text"]}
+            for r in rows
+            if r["id"].endswith("_type2")
+        ]
+        out = []
+        for name, data in ((f"{split}_tts", tts), (f"{split}_asr", asr)):
+            local = write_parquet(data, f"{work_dir}/{name}.parquet")
+            out.append((local, f"data/{name}.parquet"))
+        return out
+
+    runner = ShardRunner(split, hub, progress_dir, process, upload_batch_size=1)
+    return runner.run([WorkUnit(split, done_markers=markers)])
+
+
 def process_split(
     manifest: List[Dict],
     split: str,
@@ -126,6 +161,7 @@ def main(argv=None):
     ap.add_argument("--progress-dir", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_work")
     ap.add_argument("--params", default=None, help="mimi safetensors checkpoint")
+    ap.add_argument("--layout", default="train", choices=["train", "devtest"])
     ap.add_argument("--chunk-rows", type=int, default=10_000)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--samples-per-batch", type=int, default=None)
@@ -141,16 +177,21 @@ def main(argv=None):
         manifest = json.load(f)
     engine = _load_engine(args)
     hub = open_hub(args.hub)
-    report = process_split(
-        manifest,
-        args.split,
-        engine,
-        hub,
-        args.progress_dir,
-        args.work_dir,
-        chunk_rows=args.chunk_rows,
-        upload_batch_size=args.upload_batch_size,
-    )
+    if args.layout == "devtest":
+        report = process_split_devtest(
+            manifest, args.split, engine, hub, args.progress_dir, args.work_dir
+        )
+    else:
+        report = process_split(
+            manifest,
+            args.split,
+            engine,
+            hub,
+            args.progress_dir,
+            args.work_dir,
+            chunk_rows=args.chunk_rows,
+            upload_batch_size=args.upload_batch_size,
+        )
     stats = engine.stats.as_dict()
     logger.info("report: %s", report)
     logger.info("engine: %s", stats)

@@ -81,3 +81,28 @@ def test_interleaved_multi_chunk():
         "<|audio_start|>Y<|audio_end|><|text_start|>[1]b<|text_end|>"
         "<|end_of_text|>"
     )
+
+
+def test_prefetch_map_order_and_errors():
+    import time
+
+    from tokenize_audio_tpu.io.prefetch import prefetch_map
+
+    def slow_sq(x):
+        time.sleep(0.01 * (5 - x % 5))  # out-of-order completion
+        return x * x
+
+    got = list(prefetch_map(slow_sq, range(12), workers=4, depth=6))
+    assert got == [x * x for x in range(12)]
+    # workers=0 falls back to serial
+    assert list(prefetch_map(slow_sq, [1, 2], workers=0)) == [1, 4]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    gen = prefetch_map(boom, range(6), workers=2)
+    assert next(gen) == 0
+    with pytest.raises(ValueError, match="boom"):
+        list(gen)

@@ -32,6 +32,7 @@ import numpy as np
 from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.hub import open_hub
 from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.io.prefetch import prefetch_map
 from tokenize_audio_tpu.runner import ShardProgress, atomic_write_json, read_json
 
 logger = logging.getLogger(__name__)
@@ -154,11 +155,14 @@ class SubShardProcessor:
         work_dir: str,
         save_every: int = 10,
         sample_rate: int = 24_000,
+        num_workers: int = 2,
     ):
         self.engine = engine
         self.work_dir = work_dir
         self.save_every = save_every
         self.sample_rate = sample_rate
+        self.num_workers = num_workers  # decode prefetch threads (reference
+        # ThreadPoolExecutor role, process_shard.py:690-717)
 
     def _extract(self, tar_path: str, extract_dir: str) -> None:
         marker = os.path.join(extract_dir, ".extraction_complete")
@@ -178,19 +182,26 @@ class SubShardProcessor:
                     return os.path.join(dirpath, f)
         return None
 
-    def process_entry(self, entry: Dict, extract_dir: str) -> Dict:
+    def _load_entry_audio(self, entry: Dict, extract_dir: str):
+        """Host-side work suitable for prefetch threads: locate, decode,
+        resample."""
+        path = self._find_audio(extract_dir, entry["audio_id"])
+        if path is None:
+            return None
+        audio, sr = decode_audio(path)
+        return np.asarray(self.engine.prepare_audio(audio, sr))
+
+    def process_entry(
+        self, entry: Dict, extract_dir: str, audio24: Optional[np.ndarray] = None
+    ) -> Dict:
         audio_id = entry["audio_id"]
         text_dict = entry.get("text", {})
-        path = self._find_audio(extract_dir, audio_id)
-        if path is None:
+        if audio24 is None:
+            audio24 = self._load_entry_audio(entry, extract_dir)
+        if audio24 is None:
             logger.warning("Audio file not found for %s", audio_id)
             return entry
-        audio, sr = decode_audio(path)
-        ids, segments = slice_chunks(
-            np.asarray(self.engine.prepare_audio(audio, sr)),  # resample to 24 kHz once
-            text_dict,
-            self.sample_rate,
-        )
+        ids, segments = slice_chunks(audio24, text_dict, self.sample_rate)
         codes_dict: Dict[str, List[List[int]]] = {}
         if segments:
             codes_list = self.engine.encode_batch(
@@ -223,11 +234,20 @@ class SubShardProcessor:
         }
         out: List[Dict] = []
         since_save = 0
+        todo = [e for e in metadata if e["audio_id"] not in done]
+        todo_iter = iter(todo)
+        loaded = prefetch_map(
+            lambda e: (e, self._load_entry_audio(e, extract_dir)),
+            todo_iter,
+            workers=self.num_workers,
+        )
         for entry in metadata:
             if entry["audio_id"] in done:
                 out.append(done[entry["audio_id"]])
                 continue
-            out.append(self.process_entry(entry, extract_dir))
+            e, audio24 = next(loaded)
+            assert e["audio_id"] == entry["audio_id"]
+            out.append(self.process_entry(e, extract_dir, audio24))
             since_save += 1
             if since_save >= self.save_every:
                 atomic_write_json(output_path, out)

@@ -109,3 +109,33 @@ def test_split_long_audio():
     assert [len(p) for p in parts] == [1920, 1920, 1160]
     np.testing.assert_array_equal(np.concatenate(parts), x)
     assert split_long_audio(x[:100], 1920)[0] is x[:100] or len(split_long_audio(x[:100], 1920)) == 1
+
+
+def test_resample_bucketing_is_exact(rng):
+    """Power-of-two input padding must not change the kept output prefix
+    (upfirdn = full convolution; trailing zeros contribute nothing)."""
+    for n in (1601, 4096, 5000):
+        x = rng.standard_normal(n).astype(np.float32)
+        golden = resample_poly(x.astype(np.float64), 3, 2)
+        bucketed = np.asarray(resample(x, 16_000, 24_000, bucket_lengths=True))
+        exact = np.asarray(resample(x, 16_000, 24_000, bucket_lengths=False))
+        assert bucketed.shape == exact.shape == golden.shape
+        np.testing.assert_array_equal(bucketed, exact)
+        np.testing.assert_allclose(bucketed, golden, atol=2e-5 * np.abs(golden).max())
+
+
+def test_multichannel_audio_rejected_or_handled():
+    from tests.mimi_fixtures import make_oracle, tiny_hf_config
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+    _, params, cfg = make_oracle(tiny_hf_config())
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=2.0)
+    )
+    rng2 = np.random.default_rng(0)
+    stereo = (rng2.standard_normal((4000, 2)) * 0.2).astype(np.float32)
+    codes = eng.encode_chunk(stereo)
+    mono = eng.encode_chunk(stereo.mean(axis=1))
+    assert codes.shape == mono.shape  # mixdown, not channel interleave
+    assert (codes == mono).all()

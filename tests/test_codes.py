@@ -169,3 +169,13 @@ def test_parity_with_reference_converter(seed):
     got_ref = ref.chars_to_codes(dirty, K, S, unicode_offset=0xE000)
     got_new = chars_to_codes(dirty, K, S, unicode_offset=0xE000)
     assert got_ref == got_new
+
+
+def test_lone_surrogates_dropped_not_crash(rng):
+    """Corrupted streams with lone surrogates decode (chars dropped as
+    inconsistent) instead of raising UnicodeEncodeError."""
+    codes = random_codes(rng, t=4)
+    s = codes_to_chars(codes, S, unicode_offset=UNICODE_OFFSET_LARGE)
+    dirty = s[:8] + "\ud800" + s[8:]
+    out = chars_to_codes(dirty, K, S, return_tensors="np", unicode_offset=UNICODE_OFFSET_LARGE)
+    np.testing.assert_array_equal(out, codes)

@@ -148,3 +148,27 @@ def test_split_with_context_matches_contextful_reference(tiny_oracle, rng):
     ref = np.concatenate(refs, axis=1)
     assert got.shape == ref.shape
     assert (got == ref).all()
+
+
+def test_engine_unmasked_mode_usable(tiny_oracle, rng):
+    """masked=False (HF pad-to-length semantics) returns frame counts and
+    trims correctly (regression: valid=None used to crash _collect)."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=2.0),
+        masked=False,
+    )
+    n = 20_000
+    audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    got = eng.encode_batch([audio])[0]
+    assert got.shape[1] == -(-n // SPF)
+    # parity: HF encode of the same bucket-padded buffer, trimmed the same way
+    from tokenize_audio_tpu.core.audio import bucket_for_length
+
+    bucket = bucket_for_length(n, eng.buckets)
+    padded = np.zeros(bucket, dtype=np.float32)
+    padded[:n] = audio
+    ref = ref_codes(model, padded)[:, : got.shape[1]]
+    assert (got == ref).all()

@@ -143,3 +143,35 @@ def test_converter_failed_subshard_isolated(tmp_path, rng):
     assert rep["processed"] == 2 and rep["failed"] == 1
     prog = json.load(open(str(tmp_path / "prog" / "pretrain_en000_progress.json")))
     assert prog["failed"] == ["99999999"]
+
+
+def test_orphan_parquet_requeued(tmp_path, rng):
+    """A parquet emitted before a crash (rows already trimmed from the
+    accumulator) is uploaded on restart instead of silently lost."""
+    src = LocalHub(str(tmp_path / "src"))
+    dst = LocalHub(str(tmp_path / "dst"))
+    sids = _put_subshards(src, tmp_path, rng, n=2)
+    conv = PretrainShardConverter(
+        "en000", src, dst, str(tmp_path / "work"), str(tmp_path / "prog"),
+        parquet_rows=6, upload_batch_size=99, checkpoint_interval=1,
+    )
+    # process both subshards (12 rows -> two 6-row parquets emitted) but
+    # "crash" before any upload (batch size 99, no finalize)
+    for sid in sids:
+        local = str(tmp_path / "work" / f"{sid}.json")
+        src.download(f"en000/{sid}.json", local)
+        conv.add_subshard(sid, json.load(open(local)))
+    assert dst.list_files("data/") == []
+    emitted = [f for f in os.listdir(str(tmp_path / "work")) if f.endswith(".parquet")]
+    assert emitted  # rows left the accumulator
+
+    conv2 = PretrainShardConverter(
+        "en000", src, dst, str(tmp_path / "work"), str(tmp_path / "prog"),
+        parquet_rows=6, upload_batch_size=1,
+    )
+    rep = conv2.run(sids)
+    assert rep["failed"] == 0
+    files = dst.list_files("data/")
+    rows = [r for f in files for r in read_parquet(str(tmp_path / "dst" / f))]
+    assert len(rows) == 2 * 3 * 2  # nothing lost
+    assert len({r["id"] for r in rows}) == len(rows)  # nothing duplicated

@@ -62,3 +62,13 @@ def test_stream_incremental_push(tiny_oracle, rng):
     enc.reset()
     again = enc.push(audio[: enc.chunk_samples])[0]
     assert (again == parts[0][0]).all()
+
+
+def test_kv_capacity_guard(tiny_oracle):
+    _, params, cfg = tiny_oracle
+    enc = StreamingMimiEncoder(
+        params, cfg, chunk_seconds=2 * SPF / 24_000, max_seconds=3 * SPF / 24_000
+    )
+    enc.push(np.zeros(enc.chunk_samples, dtype=np.float32))
+    with pytest.raises(ValueError, match="KV-cache capacity"):
+        enc.push(np.zeros(enc.chunk_samples, dtype=np.float32))

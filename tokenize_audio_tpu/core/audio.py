@@ -128,12 +128,19 @@ def resample(
     audio: np.ndarray | jax.Array,
     orig_sr: int,
     target_sr: int,
+    bucket_lengths: bool = True,
 ) -> jax.Array:
     """Resample the last axis of ``audio`` from ``orig_sr`` to ``target_sr``.
 
     Accepts (T,) or (B, T); returns the same rank. Drop-in for the
     reference's ``resample_audio`` (librispeech-mimi/utils.py:84-87) with
     scipy.resample_poly filter semantics, jitted for TPU.
+
+    ``bucket_lengths`` pads the input to the next power of two before the
+    jitted conv and slices the output back — upfirdn is a full convolution
+    over a finite signal, so trailing zeros change nothing in the kept
+    prefix (bit-identical result), while the compiled-program count drops
+    from one-per-length to one-per-power-of-two.
     """
     if orig_sr == target_sr:
         return jnp.asarray(audio, dtype=jnp.float32)
@@ -143,7 +150,13 @@ def resample(
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
+    n_true = x.shape[-1]
+    if bucket_lengths:
+        padded = max(1024, 1 << (n_true - 1).bit_length())
+        if padded != n_true:
+            x = jnp.pad(x, ((0, 0), (0, padded - n_true)))
     y = _resample_batch(x, up, down)
+    y = y[:, : resample_output_length(n_true, up, down)]
     return y[0] if squeeze else y
 
 

@@ -81,7 +81,11 @@ def codes_to_chars(
 
 
 def _chars_to_codepoints(chars: str) -> np.ndarray:
-    return np.frombuffer(chars.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    # surrogatepass: lone surrogates in corrupted streams become codepoints
+    # that resolve to codebook -1 and get dropped, instead of crashing the
+    # vectorized decode (the reference's per-char ord() tolerates them too)
+    data = chars.encode("utf-32-le", "surrogatepass")
+    return np.frombuffer(data, dtype="<u4").astype(np.int64)
 
 
 def resolve_codebook(
@@ -210,6 +214,6 @@ def chars_to_codes(
         raise ValueError(f"Unknown return_tensors={return_tensors!r}")
 
     if return_hanging_codes_chars:
-        to_str = lambda a: a.astype("<u4").tobytes().decode("utf-32-le")  # noqa: E731
+        to_str = lambda a: a.astype("<u4").tobytes().decode("utf-32-le", "surrogatepass")  # noqa: E731
         return out, to_str(begin_hanging), to_str(end_hanging)
     return out

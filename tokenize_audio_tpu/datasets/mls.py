@@ -83,6 +83,28 @@ class MLSStage1Processor:
         self.progress_path = os.path.join(progress_dir, f"mls_{shard_id}_progress.json")
         self.progress_save_interval = progress_save_interval
 
+    def _write_entry(self, entry: Dict, entry_id: str, out_path: str, codes) -> None:
+        audio_str = codes_to_chars(
+            codes[:8], CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        atomic_write_json(
+            out_path,
+            {
+                "entry_id": entry_id,
+                "original_path": entry.get("original_path", ""),
+                "speaker_id": entry["speaker_id"],
+                "book_id": entry["book_id"],
+                "transcript": entry["transcript"],
+                "begin_time": entry["begin_time"],
+                "end_time": entry["end_time"],
+                "audio_duration": entry.get(
+                    "audio_duration", entry["end_time"] - entry["begin_time"]
+                ),
+                "audio_str": audio_str,
+            },
+        )
+
     def run(self, rows: Sequence[Dict]) -> Dict:
         progress = read_json(self.progress_path, None) or {
             "processed_count": 0,
@@ -91,6 +113,27 @@ class MLSStage1Processor:
         }
         start = progress["last_processed_index"] + 1
         since_save = 0
+        # device batches of engine batch_size (an upgrade over the
+        # reference's per-entry unbatched encode, process_shard.py:305)
+        bs = self.engine.engine_cfg.batch_size
+        batch: List[Tuple[Dict, str, str]] = []  # (entry, entry_id, out_path)
+
+        def flush():
+            if not batch:
+                return
+            audios = [
+                (np.asarray(e["audio"]["array"], dtype=np.float32), int(e["audio"]["sampling_rate"]))
+                for e, _, _ in batch
+            ]
+            srs = {sr for _, sr in audios}
+            for sr in srs:
+                idxs = [i for i, (_, s) in enumerate(audios) if s == sr]
+                codes = self.engine.encode_batch([audios[i][0] for i in idxs], sr=sr)
+                for i, c in zip(idxs, codes):
+                    e, eid, op = batch[i]
+                    self._write_entry(e, eid, op, c)
+            batch.clear()
+
         for idx in range(start, len(rows)):
             entry = rows[idx]
             entry_id = make_entry_id(
@@ -100,41 +143,21 @@ class MLSStage1Processor:
                 entry["end_time"],
                 entry["transcript"],
             )
-            out_prefix = os.path.join(
-                self.output_dir, str(entry["speaker_id"]), str(entry["book_id"])
+            out_path = os.path.join(
+                self.output_dir, str(entry["speaker_id"]), str(entry["book_id"]), f"{entry_id}.json"
             )
-            out_path = os.path.join(out_prefix, f"{entry_id}.json")
             if not os.path.exists(out_path):
-                cell = entry["audio"]
-                audio = np.asarray(cell["array"], dtype=np.float32)
-                sr = int(cell["sampling_rate"])
-                codes = self.engine.encode_chunk(audio, sr=sr)
-                audio_str = codes_to_chars(
-                    codes[:8], CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
-                )
-                os.makedirs(out_prefix, exist_ok=True)
-                atomic_write_json(
-                    out_path,
-                    {
-                        "entry_id": entry_id,
-                        "original_path": entry.get("original_path", ""),
-                        "speaker_id": entry["speaker_id"],
-                        "book_id": entry["book_id"],
-                        "transcript": entry["transcript"],
-                        "begin_time": entry["begin_time"],
-                        "end_time": entry["end_time"],
-                        "audio_duration": entry.get(
-                            "audio_duration", entry["end_time"] - entry["begin_time"]
-                        ),
-                        "audio_str": audio_str,
-                    },
-                )
+                batch.append((entry, entry_id, out_path))
+                if len(batch) >= bs:
+                    flush()
             progress["processed_count"] += 1
             progress["last_processed_index"] = idx
             since_save += 1
             if since_save >= self.progress_save_interval:
+                flush()  # progress must not outrun written outputs
                 atomic_write_json(self.progress_path, progress)
                 since_save = 0
+        flush()
         atomic_write_json(self.progress_path, progress)
         return progress
 

@@ -61,7 +61,15 @@ def document_to_rows(
 
 
 class PretrainShardConverter:
-    """Accumulating converter for one shard's sub-shard code JSONs."""
+    """Accumulating converter for one shard's sub-shard code JSONs.
+
+    Durability contract: ``work_dir`` must be durable storage (the
+    reference keeps its accumulation checkpoint on the cluster's shared
+    filesystem, prepare_pretraining_data.py:558-653) — residual rows of
+    completed sub-shards live in the checkpoint until the next parquet
+    rollover, and orphaned parquets are requeued from ``work_dir`` on
+    restart.
+    """
 
     def __init__(
         self,
@@ -92,6 +100,24 @@ class PretrainShardConverter:
         self.parquet_index: int = (read_json(self.counter_path, {}) or {}).get("next", 0)
         self._pending_uploads: List[Tuple[str, str, List[str]]] = []
         self._since_checkpoint = 0
+        self._scan_orphan_parquets()
+
+    def _scan_orphan_parquets(self) -> None:
+        """Requeue parquets emitted before a crash but never uploaded —
+        without this, rows trimmed from the accumulator checkpoint would be
+        lost (their sub-shards are already in ``checkpointed_subshards``).
+        Mirrors yodas2's startup scan-and-queue (process_shard.py:851-915)."""
+        prefix = f"{self.shard_id}-"
+        for f in sorted(os.listdir(self.work_dir)):
+            if not (f.startswith(prefix) and f.endswith(".parquet")) or ".tmp." in f:
+                continue
+            local = os.path.join(self.work_dir, f)
+            repo = f"data/{f}"
+            if self.target_hub.exists(repo):
+                os.unlink(local)
+                continue
+            logger.info("requeueing orphaned parquet %s", f)
+            self._pending_uploads.append((local, repo, list(self.checkpointed_subshards)))
 
     # -- persistence -------------------------------------------------------
 

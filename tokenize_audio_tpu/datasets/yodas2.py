@@ -184,12 +184,18 @@ class SubShardProcessor:
 
     def _load_entry_audio(self, entry: Dict, extract_dir: str):
         """Host-side work suitable for prefetch threads: locate, decode,
-        resample."""
+        resample. Decode failures return None so one corrupt file degrades
+        one entry, not the sub-shard (reference behavior,
+        process_shard.py:388-394)."""
         path = self._find_audio(extract_dir, entry["audio_id"])
         if path is None:
             return None
-        audio, sr = decode_audio(path)
-        return np.asarray(self.engine.prepare_audio(audio, sr))
+        try:
+            audio, sr = decode_audio(path)
+            return np.asarray(self.engine.prepare_audio(audio, sr))
+        except Exception:  # noqa: BLE001 — per-entry isolation
+            logger.exception("Failed to load audio for %s", entry["audio_id"])
+            return None
 
     def process_entry(
         self, entry: Dict, extract_dir: str, audio24: Optional[np.ndarray] = None
@@ -227,11 +233,10 @@ class SubShardProcessor:
 
         # resume: adopt completed entries from a partial output (:549-562)
         existing = read_json(output_path, [])
-        done = {
-            e["audio_id"]: e
-            for e in (existing or [])
-            if "codes" in e and e["codes"]
-        }
+        # "codes" present counts as processed even when empty (all chunks
+        # degenerate) — matches the reference resume set and avoids
+        # re-decoding zero-chunk entries forever (process_shard.py:647-655)
+        done = {e["audio_id"]: e for e in (existing or []) if "codes" in e}
         out: List[Dict] = []
         since_save = 0
         todo = [e for e in metadata if e["audio_id"] not in done]

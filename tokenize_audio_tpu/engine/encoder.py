@@ -136,7 +136,10 @@ class MimiEncoderEngine:
         return out
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        audio = pcm_to_float(np.asarray(audio)).reshape(-1)
+        audio = pcm_to_float(np.asarray(audio))
+        if audio.ndim == 2:  # (T, C) multichannel: mono mixdown (librosa.load default)
+            audio = audio.mean(axis=1)
+        audio = audio.reshape(-1)
         if sr != self.engine_cfg.sample_rate:
             with self.stats.stage("resample"):
                 audio = np.asarray(resample(audio, sr, self.engine_cfg.sample_rate))

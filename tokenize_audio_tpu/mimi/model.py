@@ -334,6 +334,7 @@ def encode(
             "downsample": _cast(params["downsample"]),
         }
     x = audio[:, None, :].astype(dt)
+    valid_in = valid
     if not masked:
         valid = None
     x, valid = seanet_encode(params, cfg, x, valid)
@@ -348,4 +349,7 @@ def encode(
     codes = split_rvq_encode(
         params["rvq"], x.astype(jnp.float32), num_quantizers, backend=cfg.rvq_backend
     )
+    if valid is None and valid_in is not None:
+        # unmasked (HF batch semantics) still reports per-row frame counts
+        valid = -(-valid_in // cfg.samples_per_frame)
     return codes.astype(jnp.int32), valid

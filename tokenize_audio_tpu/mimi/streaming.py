@@ -293,6 +293,7 @@ class StreamingMimiEncoder:
 
     def reset(self) -> None:
         self.state = init_state(self.cfg, self.batch, self.max_frames_25)
+        self._frames_pushed_25 = 0
 
     def push(self, audio: np.ndarray, valid: Optional[np.ndarray] = None) -> np.ndarray:
         """audio (B, chunk_samples) -> codes (B, K, frames) for this chunk
@@ -302,6 +303,14 @@ class StreamingMimiEncoder:
             audio = audio[None]
         if valid is None:
             valid = np.full((audio.shape[0],), audio.shape[1], dtype=np.int32)
+        f25 = audio.shape[1] // (self.cfg.samples_per_frame // 2)
+        if self._frames_pushed_25 + f25 > self.max_frames_25:
+            raise ValueError(
+                f"stream exceeds KV-cache capacity ({self.max_frames_25} frames "
+                f"@25Hz); raise max_seconds or reset() — silently wrapping would "
+                "corrupt codes"
+            )
+        self._frames_pushed_25 += f25
         codes, v12, self.state = stream_step(
             self.params,
             self.cfg,

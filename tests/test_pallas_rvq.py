@@ -36,3 +36,24 @@ def test_full_encode_with_pallas_backend(rng):
             .numpy()
         )
     assert (np.asarray(got)[0] == ref).all()
+
+
+def test_argmin_tie_breaking_matches(rng):
+    """Exact distance ties (duplicated codebook rows) must resolve to the
+    same (first) index in both backends — and in torch."""
+    import torch
+
+    n, d, v = 64, 8, 16
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    e = rng.standard_normal((v, d)).astype(np.float32)
+    e[7] = e[3]  # duplicate row -> guaranteed ties
+    e[12] = e[3]
+    embeds = jnp.asarray(e[None])
+    got_xla = np.asarray(rvq_quantize(x[None], embeds))[0].T
+    got_pl = np.asarray(rvq_quantize_pallas(x, embeds, interpret=True))
+    np.testing.assert_array_equal(got_xla, got_pl)
+    # torch cdist+argmin picks the first minimal index too
+    td = torch.cdist(torch.tensor(np.asarray(x))[None], torch.tensor(e)[None])[0]
+    ref = td.argmin(dim=-1).numpy()
+    np.testing.assert_array_equal(got_xla[:, 0], ref)
+    assert 3 in got_xla and 7 not in got_xla and 12 not in got_xla

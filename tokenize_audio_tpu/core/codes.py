@@ -81,11 +81,14 @@ def codes_to_chars(
 
 
 def _chars_to_codepoints(chars: str) -> np.ndarray:
-    # surrogatepass: lone surrogates in corrupted streams become codepoints
-    # that resolve to codebook -1 and get dropped, instead of crashing the
-    # vectorized decode (the reference's per-char ord() tolerates them too)
+    # surrogatepass keeps lone surrogates (legal in Python strings) from
+    # crashing the vectorized decode; they are then dropped outright —
+    # deliberate robustness deviation from the reference, whose per-char ord()
+    # can alias a surrogate into a valid-looking codebook slot at small
+    # offsets and emit an out-of-range code.
     data = chars.encode("utf-32-le", "surrogatepass")
-    return np.frombuffer(data, dtype="<u4").astype(np.int64)
+    cps = np.frombuffer(data, dtype="<u4").astype(np.int64)
+    return cps[(cps < _SURROGATE_LO) | (cps > _SURROGATE_HI)]
 
 
 def resolve_codebook(

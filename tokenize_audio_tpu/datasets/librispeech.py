@@ -40,26 +40,14 @@ def build_rows(entries: Sequence[Dict], engine: MimiEncoderEngine) -> List[Dict]
 
     Row schema matches process_librispeech_train.py:196-208: per utterance a
     TTS row (`{id}_type1`) and an ASR row (`{id}_type2`)."""
-    audios, srs = [], set()
-    for e in entries:
-        audio, sr = decode_audio(e["audio"])
-        audios.append((audio, sr))
-        srs.add(sr)
+    items = [decode_audio(e["audio"]) for e in entries]
+    codes_list = engine.encode_batch_mixed(items)
     rows: List[Dict] = []
-    # group by source sample rate so each engine call resamples uniformly
-    for sr in sorted(srs):
-        idxs = [i for i, (_, s) in enumerate(audios) if s == sr]
-        codes = engine.encode_batch([audios[i][0] for i in idxs], sr=sr)
-        for i, c in zip(idxs, codes):
-            e = entries[i]
-            audio_str = codes_to_chars(
-                c, CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
-            )
-            text = e["text"].strip()
-            rows.append({"id": f"{e['id']}_type1", "text": tts_document(text, audio_str)})
-            rows.append({"id": f"{e['id']}_type2", "text": asr_document(text, audio_str)})
-    order = {e["id"]: i for i, e in enumerate(entries)}
-    rows.sort(key=lambda r: (order[r["id"].rsplit("_type", 1)[0]], r["id"]))
+    for e, c in zip(entries, codes_list):
+        audio_str = codes_to_chars(c, CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE)
+        text = e["text"].strip()
+        rows.append({"id": f"{e['id']}_type1", "text": tts_document(text, audio_str)})
+        rows.append({"id": f"{e['id']}_type2", "text": asr_document(text, audio_str)})
     return rows
 
 

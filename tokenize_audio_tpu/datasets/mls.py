@@ -121,17 +121,12 @@ class MLSStage1Processor:
         def flush():
             if not batch:
                 return
-            audios = [
+            items = [
                 (np.asarray(e["audio"]["array"], dtype=np.float32), int(e["audio"]["sampling_rate"]))
                 for e, _, _ in batch
             ]
-            srs = {sr for _, sr in audios}
-            for sr in srs:
-                idxs = [i for i, (_, s) in enumerate(audios) if s == sr]
-                codes = self.engine.encode_batch([audios[i][0] for i in idxs], sr=sr)
-                for i, c in zip(idxs, codes):
-                    e, eid, op = batch[i]
-                    self._write_entry(e, eid, op, c)
+            for (e, eid, op), c in zip(batch, self.engine.encode_batch_mixed(items)):
+                self._write_entry(e, eid, op, c)
             batch.clear()
 
         for idx in range(start, len(rows)):

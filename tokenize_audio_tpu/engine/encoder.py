@@ -137,8 +137,16 @@ class MimiEncoderEngine:
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
         audio = pcm_to_float(np.asarray(audio))
-        if audio.ndim == 2:  # (T, C) multichannel: mono mixdown (librosa.load default)
-            audio = audio.mean(axis=1)
+        if audio.ndim == 2:
+            # mono mixdown (librosa.load default); the channel axis is the
+            # small one — accept (T, C) or (C, T), reject ambiguous shapes
+            ch_axis = int(np.argmin(audio.shape))
+            if audio.shape[ch_axis] > 8:
+                raise ValueError(
+                    f"ambiguous multichannel audio shape {audio.shape}; pass "
+                    "mono (T,) or channels on the small axis (<= 8)"
+                )
+            audio = audio.mean(axis=ch_axis)
         audio = audio.reshape(-1)
         if sr != self.engine_cfg.sample_rate:
             with self.stats.stage("resample"):
@@ -223,3 +231,16 @@ class MimiEncoderEngine:
         """Single-utterance encode (reference encode_audio_chunk,
         yodas2-mimi/process_shard.py:197-220)."""
         return self.encode_batch([audio], sr)[0]
+
+    def encode_batch_mixed(self, items: Sequence[tuple]) -> List[np.ndarray]:
+        """Encode (audio, sr) pairs with heterogeneous sample rates, results
+        in input order — grouped by rate so each engine call resamples
+        uniformly (shared by the librispeech and MLS builders)."""
+        srs = sorted({sr for _, sr in items})
+        results: List[Optional[np.ndarray]] = [None] * len(items)
+        for sr in srs:
+            idxs = [i for i, (_, s) in enumerate(items) if s == sr]
+            codes = self.encode_batch([items[i][0] for i in idxs], sr=sr)
+            for i, c in zip(idxs, codes):
+                results[i] = c
+        return results

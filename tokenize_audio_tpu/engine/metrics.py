@@ -8,6 +8,7 @@ north-star — falls out directly.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -24,6 +25,9 @@ class EngineStats:
         default_factory=lambda: defaultdict(float)
     )
     started_at: float = dataclasses.field(default_factory=time.perf_counter)
+    # decode-prefetch worker threads update stages concurrently with the
+    # main loop; guard the read-modify-write
+    _lock: threading.Lock = dataclasses.field(default_factory=threading.Lock, repr=False)
 
     @contextmanager
     def stage(self, name: str):
@@ -31,7 +35,9 @@ class EngineStats:
         try:
             yield
         finally:
-            self.stage_seconds[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.stage_seconds[name] += dt
 
     @property
     def wall_seconds(self) -> float:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -20,12 +21,16 @@ _SRC = os.path.join(_NATIVE_DIR, "flac_decoder.cc")
 _LIB = os.path.join(_NATIVE_DIR, "libflac_decoder.so")
 
 _lib = None
+_load_lock = threading.Lock()  # decode prefetch threads may race first use
 
 
 def _build() -> str:
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB + ".tmp", _SRC]
+    # unique temp name: concurrent builders (threads or processes) must not
+    # interleave writes into the same file before the atomic replace
+    tmp = f"{_LIB}.tmp.{os.getpid()}.{threading.get_ident()}"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -33,27 +38,30 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build()
-    lib = ctypes.CDLL(_LIB)
-    lib.flac_probe.restype = ctypes.c_int
-    lib.flac_probe.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.flac_decode.restype = ctypes.c_int64
-    lib.flac_decode.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int64,
-    ]
-    _lib = lib
-    return lib
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.flac_probe.restype = ctypes.c_int
+        lib.flac_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.flac_decode.restype = ctypes.c_int64
+        lib.flac_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return lib
 
 
 def read_flac(data: bytes) -> Tuple[np.ndarray, int]:

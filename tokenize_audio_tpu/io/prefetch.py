@@ -30,12 +30,18 @@ def prefetch_map(
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futures: deque = deque()
         it = iter(items)
-        try:
-            while True:
-                while len(futures) < depth:
-                    futures.append(ex.submit(fn, next(it)))
-                yield futures.popleft().result()
-        except StopIteration:
-            pass
-        while futures:
+        exhausted = False
+        while True:
+            while not exhausted and len(futures) < depth:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    # only the ITEM iterator ends the stream; a StopIteration
+                    # escaping fn via result() must propagate as a failure,
+                    # not silently truncate results
+                    exhausted = True
+                    break
+                futures.append(ex.submit(fn, item))
+            if not futures:
+                return
             yield futures.popleft().result()

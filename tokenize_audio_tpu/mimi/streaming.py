@@ -301,9 +301,15 @@ class StreamingMimiEncoder:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None]
+        spf = self.cfg.samples_per_frame
+        if audio.shape[1] % spf != 0:
+            raise ValueError(
+                f"streaming chunks must be whole frames ({spf} samples); got "
+                f"{audio.shape[1]}. Zero-pad the final chunk and pass `valid`."
+            )
         if valid is None:
             valid = np.full((audio.shape[0],), audio.shape[1], dtype=np.int32)
-        f25 = audio.shape[1] // (self.cfg.samples_per_frame // 2)
+        f25 = audio.shape[1] // (spf // 2)
         if self._frames_pushed_25 + f25 > self.max_frames_25:
             raise ValueError(
                 f"stream exceeds KV-cache capacity ({self.max_frames_25} frames "
@@ -330,6 +336,9 @@ class StreamingMimiEncoder:
             audio = audio[None]
         self.reset()
         cs = self.chunk_samples
+        if audio.shape[1] == 0:
+            empty = np.zeros((audio.shape[0], self.num_quantizers, 0), dtype=np.int32)
+            return empty[0] if squeeze else empty
         out = []
         for start in range(0, audio.shape[1], cs):
             chunk = audio[:, start : start + cs]

@@ -127,7 +127,10 @@ def _load_engine(args) -> MimiEncoderEngine:
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
 
-    cfg = MimiConfig()
+    cfg = MimiConfig(
+        compute_dtype="bfloat16" if args.fast else "float32",
+        rvq_backend=args.rvq_backend,
+    )
     if args.params:
         params = params_from_safetensors(args.params, cfg)
     else:
@@ -153,6 +156,9 @@ def main(argv=None):
     ap.add_argument("--chunk-rows", type=int, default=10_000)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--samples-per-batch", type=int, default=None)
+    ap.add_argument("--fast", action="store_true",
+                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
+    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--max-chunk-seconds", type=float, default=60.0)
     ap.add_argument("--upload-batch-size", type=int, default=4)
     args = ap.parse_args(argv)

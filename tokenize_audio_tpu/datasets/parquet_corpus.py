@@ -205,6 +205,9 @@ def main(argv=None):
     ap.add_argument("--params", default=None)
     ap.add_argument("--batch-size", type=int, default=24)
     ap.add_argument("--samples-per-batch", type=int, default=None)
+    ap.add_argument("--fast", action="store_true",
+                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
+    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args(argv)
     from tokenize_audio_tpu.utils import enable_compile_cache
 
@@ -215,7 +218,10 @@ def main(argv=None):
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
 
-    cfg = MimiConfig()
+    cfg = MimiConfig(
+        compute_dtype="bfloat16" if args.fast else "float32",
+        rvq_backend=args.rvq_backend,
+    )
     params = (
         params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
     )

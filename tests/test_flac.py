@@ -73,3 +73,28 @@ def test_odd_tail_block(rng):
     """Total not divisible by blocksize: final short frame decodes exactly."""
     x = pcm(rng, 4096 + 333)
     roundtrip(encode_flac(x, blocksize=4096, subframe_kinds=["fixed1"]), x)
+
+
+def test_fuzz_malformed_inputs_never_crash(rng):
+    """Truncations and random bitflips must raise (or decode fewer samples),
+    never corrupt memory / crash the process."""
+    x = pcm(rng, 3000)
+    data = bytearray(encode_flac(x, blocksize=512, subframe_kinds=["fixed2", "lpc"]))
+    # truncations at many offsets
+    for cut in range(40, len(data), max(1, len(data) // 37)):
+        try:
+            audio, sr = read_flac(bytes(data[:cut]))
+            assert audio.shape[0] <= 3000
+        except ValueError:
+            pass
+    # random single-byte corruptions (past the header so STREAMINFO parses)
+    for seed in range(200):
+        r = np.random.default_rng(seed)
+        pos = int(r.integers(60, len(data)))
+        mut = bytearray(data)
+        mut[pos] ^= int(r.integers(1, 256))
+        try:
+            audio, sr = read_flac(bytes(mut))
+            assert audio.shape[0] <= 3000 * 4  # sane bound
+        except ValueError:
+            pass

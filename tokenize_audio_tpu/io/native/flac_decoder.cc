@@ -160,6 +160,7 @@ bool decode_residual(BitReader* br, uint32_t blocksize, uint32_t order,
   uint32_t partitions = 1u << porder;
   if (blocksize % partitions != 0) return false;
   uint32_t psize = blocksize >> porder;
+  if (order > psize) return false;  // malformed: would underflow count below
   uint32_t idx = order;
   for (uint32_t p = 0; p < partitions; ++p) {
     uint32_t count = psize - (p == 0 ? order : 0);

@@ -175,3 +175,32 @@ def test_orphan_parquet_requeued(tmp_path, rng):
     rows = [r for f in files for r in read_parquet(str(tmp_path / "dst" / f))]
     assert len(rows) == 2 * 3 * 2  # nothing lost
     assert len({r["id"] for r in rows}) == len(rows)  # nothing duplicated
+
+
+def test_post_checkpoint_orphan_discarded_no_duplicates(tmp_path, rng):
+    """Crash between parquet write and checkpoint save: the orphan's rows
+    are still in the accumulator, so it must be discarded (not requeued)."""
+    src = LocalHub(str(tmp_path / "src"))
+    dst = LocalHub(str(tmp_path / "dst"))
+    sids = _put_subshards(src, tmp_path, rng, n=1)
+    conv = PretrainShardConverter(
+        "en000", src, dst, str(tmp_path / "work"), str(tmp_path / "prog"),
+        parquet_rows=1000, upload_batch_size=99, checkpoint_interval=1,
+    )
+    local = str(tmp_path / "work" / f"{sids[0]}.json")
+    src.download(f"en000/{sids[0]}.json", local)
+    conv.add_subshard(sids[0], json.load(open(local)))  # 6 rows accumulated
+    # simulate: parquet emitted (counter advanced) but crash before the
+    # rows-trim + checkpoint save
+    conv._emit_parquet(list(conv.rows))
+    assert any(f.endswith(".parquet") for f in os.listdir(str(tmp_path / "work")))
+
+    conv2 = PretrainShardConverter(
+        "en000", src, dst, str(tmp_path / "work"), str(tmp_path / "prog"),
+        parquet_rows=1000, upload_batch_size=1,
+    )
+    rep = conv2.run(sids)
+    files = dst.list_files("data/")
+    rows = [r for f in files for r in read_parquet(str(tmp_path / "dst" / f))]
+    assert len(rows) == 1 * 3 * 2  # exactly once, no duplicates
+    assert len({r["id"] for r in rows}) == len(rows)

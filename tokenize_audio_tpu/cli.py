@@ -1,0 +1,53 @@
+"""Shared CLI plumbing for the dataset processors: engine flags + bootstrap."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+from tokenize_audio_tpu.config import EngineConfig
+from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+
+def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
+    ap.add_argument("--params", default=None, help="mimi safetensors checkpoint")
+    ap.add_argument("--batch-size", type=int, default=batch_size)
+    ap.add_argument("--samples-per-batch", type=int, default=None)
+    ap.add_argument("--max-chunk-seconds", type=float, default=60.0)
+    ap.add_argument(
+        "--fast",
+        action="store_true",
+        help="bfloat16 compute (higher throughput; codes not bit-guaranteed)",
+    )
+    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
+
+
+def engine_from_args(
+    args, num_codebooks: Optional[int] = None, **engine_overrides
+) -> MimiEncoderEngine:
+    """Build the encode engine from the shared flags (compile cache on)."""
+    import logging
+
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
+    from tokenize_audio_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = MimiConfig(
+        compute_dtype="bfloat16" if getattr(args, "fast", False) else "float32",
+        rvq_backend=getattr(args, "rvq_backend", "xla"),
+    )
+    if args.params:
+        params = params_from_safetensors(args.params, cfg)
+    else:
+        logging.getLogger(__name__).warning(
+            "no --params given; using seeded random weights"
+        )
+        params = random_params(cfg)
+    ecfg = EngineConfig(
+        batch_size=args.batch_size,
+        samples_per_batch=getattr(args, "samples_per_batch", None),
+        max_chunk_seconds=getattr(args, "max_chunk_seconds", 60.0),
+        **engine_overrides,
+    )
+    return MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)

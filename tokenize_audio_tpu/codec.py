@@ -54,7 +54,9 @@ class MimiCodec:
     def audio_to_str(self, audio: np.ndarray, sr: int = 24_000) -> str:
         codes = self.encode(audio, sr)
         return codes_to_chars(
-            codes[: self.num_codebooks], CODEBOOK_SIZE, unicode_offset=self.unicode_offset
+            codes[: self.num_codebooks],
+            self.cfg.codebook_size,
+            unicode_offset=self.unicode_offset,
         )
 
     # -- decode ------------------------------------------------------------
@@ -82,7 +84,7 @@ class MimiCodec:
             chars_to_codes(
                 audio_str,
                 self.num_codebooks,
-                CODEBOOK_SIZE,
+                self.cfg.codebook_size,
                 return_tensors="np",
                 unicode_offset=self.unicode_offset,
             )

@@ -99,4 +99,4 @@ class EngineConfig:
         b = multiple_of
         while b < min(n_real, full):
             b *= 2
-        return min(b, full) if b >= multiple_of else full
+        return min(b, full)

@@ -223,30 +223,13 @@ def main(argv=None):
     ap.add_argument("--target-hub", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_emilia")
     ap.add_argument("--conversational", action="store_true")
-    ap.add_argument("--params", default=None)
-    ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--cache-interval", type=int, default=50)
-    ap.add_argument("--fast", action="store_true",
-                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
-    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+
+    add_engine_args(ap)
     args = ap.parse_args(argv)
-    from tokenize_audio_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
     logging.basicConfig(level=logging.INFO)
-
-    from tokenize_audio_tpu.config import EngineConfig
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
-
-    cfg = MimiConfig(
-        compute_dtype="bfloat16" if args.fast else "float32",
-        rvq_backend=args.rvq_backend,
-    )
-    params = (
-        params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
-    )
-    engine = MimiEncoderEngine(params, cfg, EngineConfig(batch_size=args.batch_size))
+    engine = engine_from_args(args)
     proc = EmiliaShardProcessor(
         args.split,
         args.lang,

@@ -23,7 +23,8 @@ import json
 import logging
 from typing import Dict, List, Sequence
 
-from tokenize_audio_tpu.config import CODEBOOK_SIZE, UNICODE_OFFSET_LARGE, EngineConfig
+from tokenize_audio_tpu.cli import add_engine_args
+from tokenize_audio_tpu.config import CODEBOOK_SIZE, UNICODE_OFFSET_LARGE
 from tokenize_audio_tpu.core.codes import codes_to_chars
 from tokenize_audio_tpu.datasets.base import asr_document, tts_document
 from tokenize_audio_tpu.datasets.parquet_utils import chunk_name, write_parquet
@@ -124,24 +125,9 @@ def process_split(
 
 
 def _load_engine(args) -> MimiEncoderEngine:
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
+    from tokenize_audio_tpu.cli import engine_from_args
 
-    cfg = MimiConfig(
-        compute_dtype="bfloat16" if args.fast else "float32",
-        rvq_backend=args.rvq_backend,
-    )
-    if args.params:
-        params = params_from_safetensors(args.params, cfg)
-    else:
-        logger.warning("no --params given; using seeded random weights")
-        params = random_params(cfg)
-    ecfg = EngineConfig(
-        batch_size=args.batch_size,
-        samples_per_batch=args.samples_per_batch,
-        max_chunk_seconds=args.max_chunk_seconds,
-    )
-    return MimiEncoderEngine(params, cfg, ecfg)
+    return engine_from_args(args)
 
 
 def main(argv=None):
@@ -151,16 +137,10 @@ def main(argv=None):
     ap.add_argument("--hub", required=True, help="dir:/path or hf:org/repo")
     ap.add_argument("--progress-dir", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_work")
-    ap.add_argument("--params", default=None, help="mimi safetensors checkpoint")
     ap.add_argument("--layout", default="train", choices=["train", "devtest"])
     ap.add_argument("--chunk-rows", type=int, default=10_000)
-    ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--samples-per-batch", type=int, default=None)
-    ap.add_argument("--fast", action="store_true",
-                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
-    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--max-chunk-seconds", type=float, default=60.0)
     ap.add_argument("--upload-batch-size", type=int, default=4)
+    add_engine_args(ap)
     args = ap.parse_args(argv)
 
     from tokenize_audio_tpu.utils import enable_compile_cache

@@ -287,8 +287,9 @@ def main(argv=None):
     s1.add_argument("--parquet", required=True, help="local parquet of MLS rows")
     s1.add_argument("--output-dir", required=True)
     s1.add_argument("--progress-dir", required=True)
-    s1.add_argument("--params", default=None)
-    s1.add_argument("--batch-size", type=int, default=16)
+    from tokenize_audio_tpu.cli import add_engine_args
+
+    add_engine_args(s1)
 
     s2 = sub.add_parser("stage2")
     s2.add_argument("--stage1-dir", required=True)
@@ -303,16 +304,10 @@ def main(argv=None):
     enable_compile_cache()
     logging.basicConfig(level=logging.INFO)
     if args.stage == "stage1":
-        from tokenize_audio_tpu.config import EngineConfig
+        from tokenize_audio_tpu.cli import engine_from_args
         from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
-        from tokenize_audio_tpu.mimi import MimiConfig
-        from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
 
-        cfg = MimiConfig()
-        params = (
-            params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
-        )
-        engine = MimiEncoderEngine(params, cfg, EngineConfig(batch_size=args.batch_size))
+        engine = engine_from_args(args)
         proc = MLSStage1Processor(args.shard_id, engine, args.output_dir, args.progress_dir)
         print(json.dumps(proc.run(read_parquet(args.parquet))))
     else:

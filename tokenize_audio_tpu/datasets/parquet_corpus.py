@@ -202,34 +202,12 @@ def main(argv=None):
     ap.add_argument("--target-hub", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_corpus")
     ap.add_argument("--progress-dir", required=True)
-    ap.add_argument("--params", default=None)
-    ap.add_argument("--batch-size", type=int, default=24)
-    ap.add_argument("--samples-per-batch", type=int, default=None)
-    ap.add_argument("--fast", action="store_true",
-                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
-    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+
+    add_engine_args(ap, batch_size=24)
     args = ap.parse_args(argv)
-    from tokenize_audio_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
     logging.basicConfig(level=logging.INFO)
-
-    from tokenize_audio_tpu.config import EngineConfig
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
-
-    cfg = MimiConfig(
-        compute_dtype="bfloat16" if args.fast else "float32",
-        rvq_backend=args.rvq_backend,
-    )
-    params = (
-        params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
-    )
-    engine = MimiEncoderEngine(
-        params,
-        cfg,
-        EngineConfig(batch_size=args.batch_size, samples_per_batch=args.samples_per_batch),
-    )
+    engine = engine_from_args(args)
     shards = [args.shard_id] if args.shard_id else []
     if args.shard_id_list:
         with open(args.shard_id_list) as f:

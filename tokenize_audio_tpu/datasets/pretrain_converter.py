@@ -100,13 +100,16 @@ class PretrainShardConverter:
         self.parquet_index: int = (read_json(self.counter_path, {}) or {}).get("next", 0)
         self._pending_uploads: List[Tuple[str, str, List[str]]] = []
         self._since_checkpoint = 0
-        self._scan_orphan_parquets()
+        self._scan_orphan_parquets(state.get("counter", 0))
 
-    def _scan_orphan_parquets(self) -> None:
+    def _scan_orphan_parquets(self, ckpt_counter: int) -> None:
         """Requeue parquets emitted before a crash but never uploaded —
         without this, rows trimmed from the accumulator checkpoint would be
-        lost (their sub-shards are already in ``checkpointed_subshards``).
-        Mirrors yodas2's startup scan-and-queue (process_shard.py:851-915)."""
+        lost. Mirrors yodas2's startup scan-and-queue (process_shard.py:
+        851-915). Orphans with index >= the checkpoint's recorded counter
+        were written after the last rows snapshot — their rows are still in
+        the accumulator, so requeueing them would publish duplicates; they
+        are deleted and re-emitted instead."""
         prefix = f"{self.shard_id}-"
         for f in sorted(os.listdir(self.work_dir)):
             if not (f.startswith(prefix) and f.endswith(".parquet")) or ".tmp." in f:
@@ -116,6 +119,14 @@ class PretrainShardConverter:
             if self.target_hub.exists(repo):
                 os.unlink(local)
                 continue
+            try:
+                idx = int(f[len(prefix) : -len(".parquet")])
+            except ValueError:
+                continue
+            if idx >= ckpt_counter:
+                logger.info("discarding post-checkpoint orphan %s (rows still accumulated)", f)
+                os.unlink(local)
+                continue
             logger.info("requeueing orphaned parquet %s", f)
             self._pending_uploads.append((local, repo, list(self.checkpointed_subshards)))
 
@@ -123,7 +134,15 @@ class PretrainShardConverter:
 
     def _save_checkpoint(self) -> None:
         atomic_write_json(
-            self.ckpt_path, {"rows": self.rows, "subshards": self.checkpointed_subshards}
+            self.ckpt_path,
+            {
+                "rows": self.rows,
+                "subshards": self.checkpointed_subshards,
+                # parquet counter at checkpoint time: orphans with an index
+                # >= this were emitted AFTER the rows snapshot (their rows
+                # are still in `rows`) and must be discarded, not requeued
+                "counter": self.parquet_index,
+            },
         )
         self._since_checkpoint = 0
 

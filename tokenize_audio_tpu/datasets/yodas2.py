@@ -176,11 +176,17 @@ class SubShardProcessor:
         open(marker, "w").close()
 
     def _find_audio(self, extract_dir: str, audio_id: str) -> Optional[str]:
-        for dirpath, _, files in os.walk(extract_dir):
-            for f in files:
-                if os.path.splitext(f)[0] == audio_id:
-                    return os.path.join(dirpath, f)
-        return None
+        # one walk per extraction, then O(1) lookups — per-entry re-walks
+        # were O(entries x files) in filesystem traversals
+        index = getattr(self, "_audio_index", None)
+        if index is None or index[0] != extract_dir:
+            stems = {}
+            for dirpath, _, files in os.walk(extract_dir):
+                for f in files:
+                    stems.setdefault(os.path.splitext(f)[0], os.path.join(dirpath, f))
+            index = (extract_dir, stems)
+            self._audio_index = index
+        return index[1].get(audio_id)
 
     def _load_entry_audio(self, entry: Dict, extract_dir: str):
         """Host-side work suitable for prefetch threads: locate, decode,
@@ -373,6 +379,11 @@ class Yodas2ShardProcessor:
                 self.progress.mark_failed(sid)
                 report["failed"] += 1
         report["uploaded"] += self._flush()
+        if report["failed"] == 0 and not self.progress.failed:
+            # enumeration finished cleanly: mark the shard done so the
+            # pod-runner/monitor skip it without expected-unit counts
+            self.progress.meta["done"] = True
+            self.progress.save()
         return report
 
 
@@ -383,37 +394,17 @@ def main(argv=None):
     ap.add_argument("--hub", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_yodas2")
     ap.add_argument("--progress-dir", required=True)
-    ap.add_argument("--params", default=None)
-    ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--samples-per-batch", type=int, default=None)
-    ap.add_argument("--fast", action="store_true",
-                    help="bfloat16 compute (higher throughput; codes not bit-guaranteed)")
-    ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--max-subshards", type=int, default=1000)
     ap.add_argument("--upload-batch-size", type=int, default=10)
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+
+    add_engine_args(ap)
     args = ap.parse_args(argv)
-    from tokenize_audio_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
     logging.basicConfig(level=logging.INFO)
-
-    from tokenize_audio_tpu.config import EngineConfig
     from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import params_from_safetensors, random_params
 
-    cfg = MimiConfig(
-        compute_dtype="bfloat16" if args.fast else "float32",
-        rvq_backend=args.rvq_backend,
-    )
-    params = (
-        params_from_safetensors(args.params, cfg) if args.params else random_params(cfg)
-    )
-    engine = MimiEncoderEngine(
-        params,
-        cfg,
-        EngineConfig(batch_size=args.batch_size, samples_per_batch=args.samples_per_batch),
-        num_codebooks=cfg.num_quantizers,  # store ALL books; slice downstream
-    )
+    # store ALL codebooks in the raw stage; the 8-book slice happens downstream
+    engine = engine_from_args(args, num_codebooks=MimiConfig().num_quantizers)
     if args.source.startswith("dir:"):
         source: Yodas2Source = LocalSource(args.source[4:])
     else:

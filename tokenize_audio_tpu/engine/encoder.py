@@ -210,7 +210,7 @@ class MimiEncoderEngine:
 
         for bucket, idxs in jobs:
             inflight.append((self._dispatch([pieces[g] for g in idxs], bucket), idxs))
-            if len(inflight) > self.pipeline_depth:
+            if len(inflight) >= self.pipeline_depth:
                 drain_one()
         while inflight:
             drain_one()

@@ -23,7 +23,9 @@ class LocalHub(ArtifactStore):
 
     def _abs(self, repo_path: str) -> str:
         p = os.path.normpath(os.path.join(self.root, repo_path))
-        if not p.startswith(self.root):
+        # root + sep: a bare prefix check would admit sibling dirs like
+        # /data/hub2 when root is /data/hub
+        if p != self.root and not p.startswith(self.root + os.sep):
             raise ValueError(f"path escapes hub root: {repo_path}")
         return p
 

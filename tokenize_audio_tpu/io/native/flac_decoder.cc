@@ -216,6 +216,7 @@ bool decode_subframe(BitReader* br, uint32_t blocksize, uint32_t bps,
     }
   } else if ((type_code & 0x38) == 0x08 && (type_code & 0x07) <= 4) {  // FIXED
     uint32_t order = type_code & 0x07;
+    if (order > blocksize) return false;  // warm-up would overflow the block
     for (uint32_t i = 0; i < order; ++i) {
       if (!br->read_signed(ebps, &s[i])) return false;
     }
@@ -239,6 +240,7 @@ bool decode_subframe(BitReader* br, uint32_t blocksize, uint32_t bps,
     }
   } else if (type_code & 0x20) {  // LPC
     uint32_t order = (uint32_t)(type_code & 0x1F) + 1;
+    if (order > blocksize) return false;  // warm-up would overflow the block
     for (uint32_t i = 0; i < order; ++i) {
       if (!br->read_signed(ebps, &s[i])) return false;
     }

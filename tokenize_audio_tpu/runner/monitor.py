@@ -31,6 +31,7 @@ def shard_status(state: Dict, expected_units: Optional[int] = None) -> Dict:
     (emilia-mimi/monitor_progress.py:82-126)."""
     completed = len(state.get("completed", []))
     failed = len(state.get("failed", []))
+    done_flag = bool(state.get("meta", {}).get("done"))
     if expected_units:
         if completed >= expected_units:
             status = "completed"
@@ -39,7 +40,15 @@ def shard_status(state: Dict, expected_units: Optional[int] = None) -> Dict:
         else:
             status = f"in_progress ({completed}/{expected_units}, {100*completed/expected_units:.1f}%)"
     else:
-        status = "completed" if completed and not failed else ("in_progress" if completed else "not_started")
+        # without expected counts, only an explicit done flag proves
+        # completion — progress ledgers exist from the first unit, so a
+        # non-empty completed list alone means in_progress
+        if done_flag:
+            status = "completed"
+        elif completed or failed:
+            status = "in_progress"
+        else:
+            status = "not_started"
     return {
         "shard_id": state.get("shard_id", "?"),
         "status": status,

@@ -131,5 +131,10 @@ class ShardRunner:
             else:
                 self.progress.mark_completed(unit.unit_id)
         report.uploaded_files += self._flush_uploads()
+        if report.failed == 0 and not self.progress.failed:
+            # done flag proves completion to monitors/pod-runner even
+            # without expected-unit counts
+            self.progress.meta["done"] = True
+            self.progress.save()
         report.wall_seconds = time.perf_counter() - t0
         return report

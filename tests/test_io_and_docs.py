@@ -106,3 +106,23 @@ def test_prefetch_map_order_and_errors():
     assert next(gen) == 0
     with pytest.raises(ValueError, match="boom"):
         list(gen)
+
+
+def test_wav_fuzz_malformed_inputs(tmp_path, rng):
+    """Truncations/bitflips raise ValueError (never struct.error or crash)."""
+    p = str(tmp_path / "f.wav")
+    write_wav(p, (rng.standard_normal(500) * 0.2).astype(np.float32), 24_000)
+    data = bytearray(open(p, "rb").read())
+    for cut in range(4, len(data), 7):
+        try:
+            read_wav(bytes(data[:cut]))
+        except ValueError:
+            pass
+    for seed in range(150):
+        r = np.random.default_rng(seed)
+        mut = bytearray(data)
+        mut[int(r.integers(0, len(data)))] ^= int(r.integers(1, 256))
+        try:
+            read_wav(bytes(mut))
+        except ValueError:
+            pass

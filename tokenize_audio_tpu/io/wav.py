@@ -42,7 +42,10 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            except struct.error as e:
+                raise ValueError(f"truncated WAV fmt chunk: {e}") from e
             fmt_body = body
         elif cid == b"data":
             payload = body

@@ -75,7 +75,6 @@ def validate_document(
             return_hanging_codes_chars=True,
             unicode_offset=unicode_offset,
         )
-        dropped = len(span) - codes.size - 0
         if begin_h or end_h or codes.size != len(span):
             problems.append(
                 f"audio span has invalid codes ({len(span) - codes.size} dropped)"

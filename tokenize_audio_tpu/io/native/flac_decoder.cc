@@ -202,6 +202,9 @@ bool decode_subframe(BitReader* br, uint32_t blocksize, uint32_t bps,
     if (!br->read_unary(&u)) return false;
     wasted = u + 1;
   }
+  // wasted >= bps would underflow ebps (huge read_signed widths) and make
+  // the final `<<= wasted` undefined behavior; no valid stream does this.
+  if (wasted >= bps) return false;
   uint32_t ebps = bps - wasted;
   out->assign(blocksize, 0);
   int64_t* s = out->data();

@@ -81,7 +81,12 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     elif audio_format == _FMT_FLOAT:
-        dtype = "<f4" if bits == 32 else "<f8"
+        if bits == 32:
+            dtype = "<f4"
+        elif bits == 64:
+            dtype = "<f8"
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
         x = np.frombuffer(payload, dtype=dtype).astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")

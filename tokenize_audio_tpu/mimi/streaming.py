@@ -325,8 +325,14 @@ class StreamingMimiEncoder:
             jnp.asarray(valid),
             num_quantizers=self.num_quantizers,
         )
-        f = int(np.asarray(v12).max())
-        return np.asarray(codes)[:, :, :f]
+        f_arr = np.asarray(v12)
+        if not (f_arr == f_arr[0]).all():
+            raise ValueError(
+                f"per-row valid frame counts differ ({f_arr.tolist()}); push() "
+                "returns one trimmed array, so rows must end together — pad "
+                "rows to a common valid length or stream them separately"
+            )
+        return np.asarray(codes)[:, :, : int(f_arr[0])]
 
     def encode_stream(self, audio: np.ndarray) -> np.ndarray:
         """(T,) or (B, T) arbitrary-length audio -> (B, K, ceil(T/1920))."""

@@ -45,12 +45,24 @@ class MimiConfig:
     rope_theta: float = 10_000.0
     sliding_window: int = 250
     layer_scale_initial_scale: float = 0.01
-    # NOTE on sliding_window: transformers' MimiTransformerModel builds a FULL
-    # causal mask (create_causal_mask ignores config.sliding_window as of
-    # v4.57, verified empirically: in a 1-layer model position 251 depends on
-    # position 0). Since the parity contract is vs HF MimiModel.encode, the
-    # default here is full causal attention; set use_sliding_window=True for
-    # the original kyutai semantics / long-stream efficiency.
+    # NOTE on sliding_window: the parity target — one-shot MimiModel.encode,
+    # the only way the reference calls it (yodas2-mimi/process_shard.py:
+    # 215-218) — applies NO sliding window on transformers 4.57:
+    #   * MimiTransformerModel masks via create_causal_mask
+    #     (modeling_mimi.py:1101) whose mask function is the plain causal
+    #     one; create_sliding_window_causal_mask is never called by Mimi;
+    #   * eager/sdpa attention ignore self.sliding_window — only the
+    #     flash-attention-2 path forwards it (modeling_mimi.py:810), and
+    #     the reference uses the default implementation;
+    #   * MimiModel.encode is one _encode_frame over the whole input, no
+    #     internal chunking (modeling_mimi.py:1505-1584).
+    # Pinned empirically at activation level in a mask-sensitive regime
+    # (LayerScale 1.0) by tests/test_sliding_window.py — note a probe with
+    # LayerScale 0.01 underflows cross-window deltas to exactly 0.0 in f32
+    # and falsely suggests a window. HF's own chunked/carried-cache path IS
+    # windowed (DynamicSlidingWindowLayer eviction) and diverges from its
+    # own one-shot; our contract follows one-shot. use_sliding_window=True
+    # opts into the original kyutai semantics / bounded-memory streaming.
     use_sliding_window: bool = False
     # RVQ backend: "xla" (lax ops) or "pallas" (fused distance+argmin+update
     # kernel, tokenize_audio_tpu/ops/pallas/rvq.py). Both produce identical

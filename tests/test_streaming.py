@@ -72,3 +72,41 @@ def test_kv_capacity_guard(tiny_oracle):
     enc.push(np.zeros(enc.chunk_samples, dtype=np.float32))
     with pytest.raises(ValueError, match="KV-cache capacity"):
         enc.push(np.zeros(enc.chunk_samples, dtype=np.float32))
+
+
+def test_windowed_stream_equals_windowed_batch(rng):
+    """use_sliding_window=True: streaming ring-buffer KV == windowed batch
+    encode bit-for-bit at T >> window, with O(window) cache memory and no
+    capacity ceiling."""
+    import dataclasses
+
+    _, params, cfg = make_oracle(
+        tiny_hf_config(layer_scale_initial_scale=1.0, initializer_range=0.1,
+                       sliding_window=4)
+    )
+    wcfg = dataclasses.replace(cfg, use_sliding_window=True)
+    # 24 frames @12.5Hz = 48 positions @25Hz >> window 4
+    audio = (rng.standard_normal(24 * SPF) * 0.3).astype(np.float32)
+    ref = one_shot(params, wcfg, audio)[0]
+    full = one_shot(params, cfg, audio)[0]
+    assert (ref != full).any(), "window too weak to discriminate"
+
+    enc = StreamingMimiEncoder(params, wcfg, chunk_seconds=3 * SPF / 24_000,
+                               max_seconds=6 * SPF / 24_000)  # << stream length
+    assert enc.state.kv.shape[-2] == 4  # bounded by the window, not the stream
+    got = enc.encode_stream(audio)
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
+def test_windowed_stream_ragged_tail(rng):
+    import dataclasses
+
+    _, params, cfg = make_oracle(tiny_hf_config(sliding_window=4))
+    wcfg = dataclasses.replace(cfg, use_sliding_window=True)
+    audio = (rng.standard_normal(7 * SPF + 777) * 0.3).astype(np.float32)
+    ref = one_shot(params, wcfg, audio)[0]
+    enc = StreamingMimiEncoder(params, wcfg, chunk_seconds=2 * SPF / 24_000)
+    got = enc.encode_stream(audio)
+    assert got.shape == ref.shape
+    assert (got == ref).all()

@@ -7,8 +7,15 @@ jitted step function over static shapes, with
   - per-conv-layer left-context caches (the last ``pad_total`` inputs of
     each causal conv) instead of zero padding — chunk boundaries become
     invisible to the conv stack;
-  - a fixed-capacity transformer KV cache (full causal attention over all
-    pushed frames, like HF's growing cache, bounded by ``max_frames``);
+  - a fixed-capacity transformer KV cache: full causal attention over all
+    pushed frames (matching HF's ONE-SHOT encode — see
+    tests/test_sliding_window.py; HF's own carried-cache path is windowed
+    by DynamicSlidingWindowLayer eviction and does not reproduce its
+    one-shot), bounded by ``max_frames``; with
+    ``cfg.use_sliding_window=True`` the cache is instead a bounded
+    sliding-window buffer of the last ``sliding_window`` keys, so streams
+    of ANY length encode in O(window) memory and codes equal the windowed
+    batch encode bit-for-bit;
   - the replicate-padded 25->12.5 Hz downsample seeds its first cache from
     the first frame, exactly like MimiConv1dPaddingCache's replicate mode.
 
@@ -125,13 +132,16 @@ def init_state(cfg: MimiConfig, batch: int, max_frames_25hz: int = 8000) -> Stre
     caches = [
         jnp.zeros((batch, c, p), dtype=jnp.float32) for c, p in _conv_layer_shapes(cfg)
     ]
+    # full-causal mode: capacity for the whole stream (HF one-shot horizon);
+    # windowed mode: only the last `sliding_window` keys are ever needed
+    depth = cfg.sliding_window if cfg.use_sliding_window else max_frames_25hz
     kv = jnp.zeros(
         (
             cfg.num_hidden_layers,
             2,
             batch,
             cfg.num_attention_heads,
-            max_frames_25hz,
+            depth,
             cfg.head_dim,
         ),
         dtype=jnp.float32,
@@ -143,6 +153,18 @@ def init_state(cfg: MimiConfig, batch: int, max_frames_25hz: int = 8000) -> Stre
 # Step
 # ---------------------------------------------------------------------------
 
+def _rope_at(cfg: MimiConfig, pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin at arbitrary (possibly traced) absolute positions —
+    windowed streams outlive any precomputed table."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    freqs = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
 def _transformer_step(
     params: List[Dict], cfg: MimiConfig, h: jax.Array, kv: jax.Array, t_off: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -150,16 +172,31 @@ def _transformer_step(
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     m = kv.shape[-2]
     scale = 1.0 / np.sqrt(hd)
-    # RoPE at absolute positions t_off..t_off+f
-    cos_all, sin_all = _rope_tables(cfg, m)
-    pos = t_off + jnp.arange(f)
-    cos = cos_all[pos][None, None]
-    sin = sin_all[pos][None, None]
-    # causal mask: new query i attends keys j <= t_off + i
-    jpos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 1)
-    ipos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 0)
     neg = jnp.finfo(jnp.float32).min
-    mask = jnp.where(jpos <= t_off + ipos, 0.0, neg)[None, None]
+    windowed = cfg.use_sliding_window
+    if windowed:
+        # kv holds the last `sliding_window` keys, left-aligned; attention
+        # runs over [cache | new] with absolute-position window masking, and
+        # the new cache is the tail of that concatenation — O(window) memory
+        # for streams of any length.
+        w = m  # == cfg.sliding_window (init_state)
+        cos, sin = _rope_at(cfg, t_off + jnp.arange(f))
+        cos, sin = cos[None, None], sin[None, None]
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (f, w + f), 1)
+        ipos = jax.lax.broadcasted_iota(jnp.int32, (f, w + f), 0)
+        kabs = t_off - w + jpos  # absolute position of key slot j
+        qabs = t_off + ipos
+        allowed = (kabs <= qabs) & (kabs > qabs - w) & (kabs >= 0)
+        mask = jnp.where(allowed, 0.0, neg)[None, None]
+    else:
+        # full causal (HF one-shot semantics): grow-in-place cache
+        cos_all, sin_all = _rope_tables(cfg, m)
+        pos = t_off + jnp.arange(f)
+        cos = cos_all[pos][None, None]
+        sin = sin_all[pos][None, None]
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 1)
+        ipos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 0)
+        mask = jnp.where(jpos <= t_off + ipos, 0.0, neg)[None, None]
 
     new_kv = kv
     for li, lp in enumerate(params):
@@ -172,13 +209,22 @@ def _transformer_step(
         v = v.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
         q = q * cos + _rotate_half(q) * sin
         k = k * cos + _rotate_half(k) * sin
-        k_cache = jax.lax.dynamic_update_slice(
-            new_kv[li, 0], k, (0, 0, t_off, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            new_kv[li, 1], v, (0, 0, t_off, 0)
-        )
-        new_kv = new_kv.at[li, 0].set(k_cache).at[li, 1].set(v_cache)
+        if windowed:
+            k_all = jnp.concatenate([new_kv[li, 0], k], axis=2)
+            v_all = jnp.concatenate([new_kv[li, 1], v], axis=2)
+            new_kv = (
+                new_kv.at[li, 0].set(k_all[:, :, -m:, :])
+                .at[li, 1].set(v_all[:, :, -m:, :])
+            )
+            k_cache, v_cache = k_all, v_all
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                new_kv[li, 0], k, (0, 0, t_off, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                new_kv[li, 1], v, (0, 0, t_off, 0)
+            )
+            new_kv = new_kv.at[li, 0].set(k_cache).at[li, 1].set(v_cache)
         aw = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache, precision=_HIGHEST) * scale
         aw = aw + mask
         aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1)
@@ -310,11 +356,15 @@ class StreamingMimiEncoder:
         if valid is None:
             valid = np.full((audio.shape[0],), audio.shape[1], dtype=np.int32)
         f25 = audio.shape[1] // (spf // 2)
-        if self._frames_pushed_25 + f25 > self.max_frames_25:
+        if (
+            not self.cfg.use_sliding_window
+            and self._frames_pushed_25 + f25 > self.max_frames_25
+        ):
             raise ValueError(
                 f"stream exceeds KV-cache capacity ({self.max_frames_25} frames "
-                f"@25Hz); raise max_seconds or reset() — silently wrapping would "
-                "corrupt codes"
+                f"@25Hz); raise max_seconds, reset(), or use a "
+                "use_sliding_window=True config (bounded-memory, any length) — "
+                "silently wrapping would corrupt codes"
             )
         self._frames_pushed_25 += f25
         codes, v12, self.state = stream_step(

@@ -11,9 +11,9 @@ tags by first appearance with ``speaker_ids``/``speaker_count`` columns and
 type1 only, conversational:556-596), and upload
 ``{split}/{lang}/{shard}.parquet`` with post-upload verification (:606-633).
 
-Note: real Emilia archives hold mp3; this processor decodes whatever
-``tokenize_audio_tpu.io.decode_audio`` supports (wav built-in; register an
-mp3 decoder for the production corpus).
+Real Emilia archives hold mp3, decoded natively by
+``tokenize_audio_tpu.io.decode_audio`` (libmpg123-backed, io/mp3.py);
+wav/flac members work too.
 """
 
 from __future__ import annotations

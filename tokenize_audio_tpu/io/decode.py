@@ -2,9 +2,10 @@
 
 One entry point, ``decode_audio(path_or_bytes, format=None)``, dispatching
 by extension/magic to registered decoders. WAV is built in; FLAC is served
-by the native C++ decoder in ``tokenize_audio_tpu/io/native`` when built
-(falling back to a clear error naming the gap); mp3 and other formats can
-be registered by deployments that ship a decoder.
+by the native C++ decoder in ``tokenize_audio_tpu/io/native`` when built;
+mp3 by the system libmpg123 binding (``io/mp3.py``). Each registers only
+when its native library is present, falling back to a clear error naming
+the gap; further formats can be registered by deployments.
 
 Replaces the reference's librosa.load host decode
 (yodas2-mimi/process_shard.py:389, emilia-mimi/process_shard.py:473-537).
@@ -77,4 +78,16 @@ def _try_register_native_flac() -> None:
         pass
 
 
+def _try_register_native_mp3() -> None:
+    try:
+        from tokenize_audio_tpu.io.mp3 import read_mp3
+
+        _load = read_mp3.__globals__["_load"]
+        _load()  # probe libmpg123 now so registration reflects availability
+        register_decoder("mp3", read_mp3)
+    except Exception:  # noqa: BLE001 — libmpg123 absent; mp3 stays unregistered
+        pass
+
+
 _try_register_native_flac()
+_try_register_native_mp3()

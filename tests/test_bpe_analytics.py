@@ -161,3 +161,79 @@ def test_analytics_count_and_estimate(tmp_path, rng):
     strat = est.stratified_estimate({"en": ["a b", "c"]}, {"en": 10})
     assert strat["en"]["estimated_total_tokens"] == 15
     assert strat["_total"]["estimated_total_tokens"] == 15
+
+
+def test_range_reader_footer_only_counting(tmp_path, rng):
+    """count_parquet_rows_remote reads only the footer: a few KB of ranged
+    reads regardless of data size (count_dataset_rows.py:66-88 contract)."""
+    from tokenize_audio_tpu.analytics.count_rows import (
+        RangeReader,
+        count_parquet_rows_remote,
+    )
+    from tokenize_audio_tpu.datasets.parquet_utils import write_parquet
+
+    hub = LocalHub(str(tmp_path / "hub"))
+    rows = [
+        {"id": f"r{i}", "text": rng.bytes(2000).hex()} for i in range(500)
+    ]  # incompressible payload so the file is genuinely big on disk
+    local = write_parquet(rows, str(tmp_path / "big.parquet"))
+    hub.upload_file(local, "data/big.parquet")
+    total = hub.size("data/big.parquet")
+    assert total > 100_000  # the payload is actually big
+
+    rd = RangeReader(hub, "data/big.parquet")
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(rd).metadata.num_rows == 500
+    assert rd.bytes_read < 0.1 * total, (rd.bytes_read, total)
+    assert count_parquet_rows_remote(hub, "data/big.parquet") == 500
+
+    # RangeReader file-like semantics
+    rd2 = RangeReader(hub, "data/big.parquet")
+    rd2.seek(-4, 2)
+    assert rd2.read() == b"PAR1"
+    rd2.seek(0)
+    assert rd2.read(4) == b"PAR1"
+
+
+def test_estimate_tokens_partial_transfer(tmp_path, rng):
+    """Sampling reads one row group's text column, not whole files."""
+    from tokenize_audio_tpu.analytics import count_rows as cr
+    from tokenize_audio_tpu.analytics.estimate_tokens import TokenEstimator
+    from tokenize_audio_tpu.datasets.parquet_utils import write_parquet
+
+    hub = LocalHub(str(tmp_path / "hub"))
+    # two columns: small text + a fat payload column the estimator must skip
+    rows = [
+        {"id": f"r{i}", "text": "tok tok tok", "payload": rng.bytes(4000).hex()}
+        for i in range(300)
+    ]
+    local = write_parquet(rows, str(tmp_path / "f.parquet"))
+    hub.upload_file(local, "all/f.parquet")
+    total = hub.size("all/f.parquet")
+
+    transferred = []
+    orig = cr.RangeReader
+
+    class CountingReader(orig):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            transferred.append(self)
+
+    import tokenize_audio_tpu.analytics.estimate_tokens as et
+
+    old = et.RangeReader
+    et.RangeReader = CountingReader
+    try:
+        class WSTok:
+            def encode(self, t):
+                return t.split()
+
+        res = TokenEstimator(WSTok()).estimate_hub_dataset(hub, sample_rows=20)
+    finally:
+        et.RangeReader = old
+    assert res["all"]["total_rows"] == 300
+    assert res["all"]["mean_tokens_per_row"] == 3.0
+    assert res["all"]["estimated_total_tokens"] == 900
+    read = sum(r.bytes_read for r in transferred)
+    assert read < 0.5 * total, (read, total)  # skipped the fat column

@@ -60,10 +60,19 @@ def test_upload_and_exists_cache(hub):
     n = len(fake.calls)
     assert h.exists("data/a.json") is True
     assert len(fake.calls) == n
-    # negative results are NOT cached (completion can appear later)
+    # negative results ARE cached (monitor startup scans re-query mostly-
+    # missing repos; the reference caches both, monitor_progress.py:89-114)
     assert h.exists("data/b.json") is False
     assert h.exists("data/b.json") is False
-    assert len([c for c in fake.calls if c == ("exists", "data/b.json")]) == 2
+    assert len([c for c in fake.calls if c == ("exists", "data/b.json")]) == 1
+    # an upload through this store flips the cached negative
+    h.upload_file("/tmp/x", "data/b.json")
+    assert h.exists("data/b.json") is True
+    # clear_exists_cache() handles external writers
+    h.clear_exists_cache()
+    n = len(fake.calls)
+    assert h.exists("data/b.json") is True
+    assert len(fake.calls) == n + 1
 
 
 def test_retry_on_transient_failures(hub):
@@ -100,3 +109,89 @@ def test_batch_commit(hub, monkeypatch):
     assert h.exists("data/p1") is True  # cached by the batch
 
     assert h.list_files("data/") == sorted(fake.files)
+
+
+def test_download_falls_back_to_direct_url(hub, tmp_path, monkeypatch):
+    """When the hub API download path exhausts retries, the store streams
+    from the resolve URL instead (prepare_pretraining_data.py:109-163)."""
+    import sys
+    import types
+
+    h, fake = hub
+    h.max_retries = 1
+
+    mod = types.ModuleType("huggingface_hub")
+
+    def bad_download(**kw):
+        raise RuntimeError("api down")
+
+    mod.hf_hub_download = bad_download
+    mod.hf_hub_url = lambda repo, path, repo_type=None: f"https://x/{path}"
+    monkeypatch.setitem(sys.modules, "huggingface_hub", mod)
+
+    fetched = {}
+
+    class FakeResp:
+        status_code = 200
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, n):
+            yield b"PAYLOAD"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeSession:
+        def get(self, url, **kw):
+            fetched["url"] = url
+            return FakeResp()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(type(h), "_session", lambda self: FakeSession())
+    out = str(tmp_path / "out.bin")
+    h.download("data/a.parquet", out)
+    assert fetched["url"].endswith("data/a.parquet")
+    assert open(out, "rb").read() == b"PAYLOAD"
+
+
+def test_read_range_uses_range_header(hub, monkeypatch):
+    import sys
+    import types
+
+    h, fake = hub
+    mod = types.ModuleType("huggingface_hub")
+    mod.hf_hub_url = lambda repo, path, repo_type=None: f"https://x/{path}"
+    monkeypatch.setitem(sys.modules, "huggingface_hub", mod)
+
+    seen = {}
+
+    class FakeResp:
+        content = b"abcd"
+
+        def raise_for_status(self):
+            pass
+
+    class FakeSession:
+        def get(self, url, headers=None, **kw):
+            seen["range"] = headers["Range"]
+            return FakeResp()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(type(h), "_session", lambda self: FakeSession())
+    assert h.read_range("data/a.parquet", 100, 4) == b"abcd"
+    assert seen["range"] == "bytes=100-103"

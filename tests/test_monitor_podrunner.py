@@ -149,3 +149,27 @@ def test_monitor_live_workdir(tmp_path, capsys):
     ]
     assert mon_main(["live", "--work-dir", str(tmp_path / "work")]) == 0
     assert '"encoded": 1' in capsys.readouterr().out
+
+
+def test_pod_runner_single_chip_warning(tmp_path, capsys, monkeypatch):
+    """--max-concurrent above the visible chip count warns about contention
+    (one TPU process per chip; CLAUDE-rule formalized as a runtime check)."""
+    import argparse
+
+    from tokenize_audio_tpu.runner import pod_runner
+
+    monkeypatch.setenv("TOKENIZE_AUDIO_TPU_DEVICES", "1")
+    lst = tmp_path / "shards.txt"
+    lst.write_text("")  # no shards: run() returns after the guard
+    args = argparse.Namespace(
+        shard_list=str(lst),
+        log_dir=str(tmp_path / "logs"),
+        run_dir=str(tmp_path / "run"),
+        progress_dir=None,
+        max_concurrent=4,
+        poll_seconds=0.01,
+        cmd=["true"],
+        wait=False,
+    )
+    pod_runner.run(args)
+    assert "contend for the same chip" in capsys.readouterr().out

@@ -20,22 +20,83 @@ def count_parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+class RangeReader:
+    """Seekable read-only file over ``ArtifactStore.read_range``.
+
+    Gives pyarrow random access to remote parquet without a download: a
+    ParquetFile open touches only the footer (two ranged reads), and a
+    row-group read touches only that group's byte span. ``bytes_read``
+    counts actual transfer so callers/tests can assert the savings.
+    """
+
+    def __init__(self, hub, repo_path: str):
+        self.hub = hub
+        self.repo_path = repo_path
+        self._size = hub.size(repo_path)
+        self._pos = 0
+        self.bytes_read = 0
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def read(self, nbytes: int = -1) -> bytes:
+        if nbytes is None or nbytes < 0:
+            nbytes = self._size - self._pos
+        nbytes = max(0, min(nbytes, self._size - self._pos))
+        if nbytes == 0:
+            return b""
+        data = self.hub.read_range(self.repo_path, self._pos, nbytes)
+        self._pos += len(data)
+        self.bytes_read += len(data)
+        return data
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def count_parquet_rows_remote(hub, repo_path: str) -> int:
+    """num_rows from the parquet footer alone — ranged reads, no download
+    (the reference's count_dataset_rows.py:66-88 contract)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(RangeReader(hub, repo_path)).metadata.num_rows
+
+
 def count_hub_dataset(hub, prefix: str = "", group_depth: int = 1) -> Dict[str, Dict]:
     """Count rows of every parquet under prefix, grouped by the first
-    ``group_depth`` path components."""
-    import os
-    import tempfile
-
+    ``group_depth`` path components. Metadata-only: transfers ~KBs per file
+    regardless of file size."""
     groups: Dict[str, Dict] = defaultdict(lambda: {"files": 0, "rows": 0})
     for f in hub.list_files(prefix):
         if not f.endswith(".parquet"):
             continue
         parts = f.split("/")
         key = "/".join(parts[:group_depth]) if group_depth else "all"
-        with tempfile.TemporaryDirectory() as td:
-            local = os.path.join(td, "x.parquet")
-            hub.download(f, local)
-            rows = count_parquet_rows(local)
+        rows = count_parquet_rows_remote(hub, f)
         groups[key]["files"] += 1
         groups[key]["rows"] += rows
     return dict(groups)

@@ -10,13 +10,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import random
-import tempfile
 from typing import Dict, List, Sequence
 
-from tokenize_audio_tpu.analytics.count_rows import count_parquet_rows
-from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
+from tokenize_audio_tpu.analytics.count_rows import RangeReader
 
 
 class TokenEstimator:
@@ -42,7 +39,15 @@ class TokenEstimator:
         group_depth: int = 0,
     ) -> Dict[str, Dict]:
         """Per group: sample rows across files, mean tokens/row x total rows
-        (estimate_tokens.py extrapolation)."""
+        (estimate_tokens.py extrapolation).
+
+        Transfer-frugal: each file is opened over ranged reads — the footer
+        gives total_rows, and samples come from ONE random row group's text
+        column, so a multi-GB parquet costs only that column chunk instead
+        of a full download (the scale fix the reference applies to counting
+        in count_dataset_rows.py:66-88, extended here to sampling)."""
+        import pyarrow.parquet as pq
+
         rng = random.Random(seed)
         files = [f for f in hub.list_files(prefix) if f.endswith(".parquet")]
         groups: Dict[str, List[str]] = {}
@@ -55,13 +60,13 @@ class TokenEstimator:
             sampled_texts: List[str] = []
             per_file = max(1, sample_rows // len(gfiles))
             for f in gfiles:
-                with tempfile.TemporaryDirectory() as td:
-                    local = os.path.join(td, "x.parquet")
-                    hub.download(f, local)
-                    total_rows += count_parquet_rows(local)
-                    rows = read_parquet(local)
-                take = rows if len(rows) <= per_file else rng.sample(rows, per_file)
-                sampled_texts += [r[self.text_field] for r in take]
+                pf = pq.ParquetFile(RangeReader(hub, f))
+                total_rows += pf.metadata.num_rows
+                g = rng.randrange(pf.metadata.num_row_groups)
+                col = [self.text_field] if self.text_field in pf.schema_arrow.names else None
+                texts = pf.read_row_group(g, columns=col)[self.text_field].to_pylist()
+                take = texts if len(texts) <= per_file else rng.sample(texts, per_file)
+                sampled_texts += take
             tokens = self.count_tokens(sampled_texts)
             mean = tokens / len(sampled_texts) if sampled_texts else 0.0
             out[key] = {

@@ -41,6 +41,32 @@ class ArtifactStore(abc.ABC):
     def download(self, repo_path: str, local_path: str) -> str:
         ...
 
+    # -- ranged access (metadata-only parquet reads) ----------------------
+    #
+    # The reference counts dataset rows by fetching ONLY the parquet footer
+    # via HTTP range requests (pretraining-data/count_dataset_rows.py:66-88)
+    # — at production sizes a full download is 2-3 GB per file. Stores
+    # should override these with true ranged reads; the defaults fall back
+    # to a full download so the contract always holds.
+
+    def size(self, repo_path: str) -> int:
+        """Total bytes of a stored file."""
+        return len(self._full_read(repo_path))
+
+    def read_range(self, repo_path: str, offset: int, length: int) -> bytes:
+        """``length`` bytes starting at ``offset`` (short read only at EOF)."""
+        return self._full_read(repo_path)[offset : offset + length]
+
+    def _full_read(self, repo_path: str) -> bytes:
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, "blob")
+            self.download(repo_path, local)
+            with open(local, "rb") as f:
+                return f.read()
+
     def upload_and_delete(self, local_path: str, repo_path: str) -> None:
         import os
 

@@ -4,8 +4,14 @@
     errors (common-voice-mimi/process_common_voice.py:40-79);
   - N files in ONE commit via CommitOperationAdd/create_commit to dodge
     rate limits (yodas2-mimi/process_shard.py:126-182);
-  - exists via HfApi.file_exists with per-path result cache
-    (yodas2-mimi/monitor_progress.py:89-114).
+  - exists via HfApi.file_exists with per-path positive AND negative
+    result caching (yodas2-mimi/monitor_progress.py:89-114 caches both;
+    uploads through this store invalidate the negative entry, and
+    ``clear_exists_cache`` handles external writers);
+  - direct resolve-URL download fallback when the hub API path fails
+    (pretraining-data/prepare_pretraining_data.py:109-163);
+  - HTTP-range ``read_range``/``size`` so parquet footers can be read
+    without downloading data (count_dataset_rows.py:66-88).
 
 Network use is inherently environment-gated; everything here lazy-imports
 huggingface_hub so air-gapped deployments never touch it.
@@ -61,8 +67,8 @@ class HFHub(ArtifactStore):
                 time.sleep(delay)
 
     def exists(self, path: str) -> bool:
-        if path in self._exists_cache and self._exists_cache[path]:
-            return True
+        if path in self._exists_cache:
+            return self._exists_cache[path]
         result = bool(
             self._retry(
                 lambda: self.api.file_exists(
@@ -73,6 +79,11 @@ class HFHub(ArtifactStore):
         )
         self._exists_cache[path] = result
         return result
+
+    def clear_exists_cache(self) -> None:
+        """Drop cached exists results (needed when another process may have
+        uploaded since; uploads through THIS store update the cache)."""
+        self._exists_cache.clear()
 
     def upload_file(self, local_path: str, repo_path: str) -> None:
         self._retry(
@@ -119,12 +130,81 @@ class HFHub(ArtifactStore):
 
         from huggingface_hub import hf_hub_download
 
-        got = self._retry(
-            lambda: hf_hub_download(
-                repo_id=self.repo_id, filename=repo_path, repo_type=self.repo_type
-            ),
-            f"download({repo_path})",
-        )
         os.makedirs(os.path.dirname(os.path.abspath(local_path)), exist_ok=True)
-        shutil.copyfile(got, local_path)
+        try:
+            got = self._retry(
+                lambda: hf_hub_download(
+                    repo_id=self.repo_id, filename=repo_path, repo_type=self.repo_type
+                ),
+                f"download({repo_path})",
+            )
+            shutil.copyfile(got, local_path)
+            return local_path
+        except Exception:  # noqa: BLE001 — API path exhausted; try the raw URL
+            logger.warning(
+                "hub API download failed for %s; falling back to resolve URL",
+                repo_path,
+            )
+            return self._download_direct(repo_path, local_path)
+
+    # -- raw resolve-URL path ---------------------------------------------
+
+    def _resolve_url(self, repo_path: str) -> str:
+        from huggingface_hub import hf_hub_url
+
+        return hf_hub_url(self.repo_id, repo_path, repo_type=self.repo_type)
+
+    def _session(self):
+        import requests
+
+        from huggingface_hub.utils import build_hf_headers
+
+        s = requests.Session()
+        s.headers.update(build_hf_headers(token=self.api.token))
+        return s
+
+    def _download_direct(self, repo_path: str, local_path: str) -> str:
+        """Stream from the resolve URL — the reference's fallback when the
+        HF API errors (prepare_pretraining_data.py:109-163)."""
+        import os
+
+        url = self._resolve_url(repo_path)
+
+        def fetch():
+            with self._session() as s, s.get(url, stream=True, timeout=60) as r:
+                r.raise_for_status()
+                tmp = f"{local_path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    for chunk in r.iter_content(1 << 20):
+                        f.write(chunk)
+                os.replace(tmp, local_path)
+
+        self._retry(fetch, f"direct download({repo_path})")
         return local_path
+
+    def size(self, repo_path: str) -> int:
+        def head():
+            with self._session() as s:
+                r = s.head(self._resolve_url(repo_path), allow_redirects=True, timeout=30)
+                r.raise_for_status()
+                # hub returns the blob size in X-Linked-Size on the entry
+                # point; after redirect Content-Length is authoritative
+                return int(r.headers.get("Content-Length") or r.headers["X-Linked-Size"])
+
+        return self._retry(head, f"size({repo_path})")
+
+    def read_range(self, repo_path: str, offset: int, length: int) -> bytes:
+        """HTTP range request — parquet footer reads transfer KBs, not GBs
+        (count_dataset_rows.py:66-88)."""
+
+        def fetch():
+            with self._session() as s:
+                r = s.get(
+                    self._resolve_url(repo_path),
+                    headers={"Range": f"bytes={offset}-{offset + length - 1}"},
+                    timeout=60,
+                )
+                r.raise_for_status()
+                return r.content
+
+        return self._retry(fetch, f"read_range({repo_path})")

@@ -57,3 +57,11 @@ class LocalHub(ArtifactStore):
         os.makedirs(os.path.dirname(os.path.abspath(local_path)), exist_ok=True)
         shutil.copyfile(self._abs(repo_path), local_path)
         return local_path
+
+    def size(self, repo_path: str) -> int:
+        return os.path.getsize(self._abs(repo_path))
+
+    def read_range(self, repo_path: str, offset: int, length: int) -> bytes:
+        with open(self._abs(repo_path), "rb") as f:
+            f.seek(offset)
+            return f.read(length)

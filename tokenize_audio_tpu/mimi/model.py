@@ -296,7 +296,7 @@ def split_rvq_encode(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_quantizers", "masked")
+    jax.jit, static_argnames=("cfg", "num_quantizers", "masked", "code_dtype")
 )
 def encode(
     params: Params,
@@ -305,14 +305,16 @@ def encode(
     valid: Optional[jax.Array] = None,
     num_quantizers: int = 8,
     masked: bool = True,
+    code_dtype: str = "int32",
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Encode (B, T) float32 audio -> (codes (B, K, T/1920) int32, frame valid).
+    """Encode (B, T) float32 audio -> (codes (B, K, T/1920), frame valid).
 
     Equivalent of HF ``model.encode(input_values, padding_mask).audio_codes``
     restricted to the first ``num_quantizers`` codebooks (the reference keeps
     8: mls-en-mimi-pretrain/process_shard.py:33). ``valid`` are per-row
     sample counts; pass None (or masked=False) for HF pad-to-length
-    semantics.
+    semantics. ``code_dtype="uint16"`` is lossless (codebook 2048 < 2^16)
+    and halves the device->host transfer — the engine's default.
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if dt != jnp.float32:
@@ -352,4 +354,4 @@ def encode(
     if valid is None and valid_in is not None:
         # unmasked (HF batch semantics) still reports per-row frame counts
         valid = -(-valid_in // cfg.samples_per_frame)
-    return codes.astype(jnp.int32), valid
+    return codes.astype(jnp.dtype(code_dtype)), valid

@@ -61,7 +61,35 @@ def shard_completed(progress_dir: str, shard: str, expected_units: int | None = 
     return bool(state.get("meta", {}).get("done"))
 
 
+def _visible_tpu_devices():
+    """TPU chip count without initializing a JAX backend in the runner
+    process (which would itself claim the chip): trust an explicit env
+    override, else count /dev/accel* device nodes. None = unknown."""
+    import glob
+
+    env = os.environ.get("TOKENIZE_AUDIO_TPU_DEVICES")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            return None
+    nodes = glob.glob("/dev/accel*") + glob.glob("/dev/vfio/*")
+    return len(nodes) or None
+
+
 def run(args) -> int:
+    if args.max_concurrent > 1:
+        # TPU processes cannot share a chip: concurrent encoders on one
+        # device serialize unpredictably (and on tunneled fabrics contend
+        # for the claim). Warn unless the host clearly has enough devices.
+        n_dev = _visible_tpu_devices()
+        if n_dev is not None and n_dev < args.max_concurrent:
+            print(
+                f"[pod-runner] WARNING: --max-concurrent={args.max_concurrent} "
+                f"but only {n_dev} TPU device(s) visible; concurrent shard "
+                "processes will contend for the same chip and serialize. "
+                "Use 1 process per chip (or CPU-only stages) instead."
+            )
     with open(args.shard_list) as f:
         shards = [line.strip() for line in f if line.strip() and not line.startswith("#")]
     os.makedirs(args.log_dir, exist_ok=True)

@@ -237,3 +237,26 @@ def test_estimate_tokens_partial_transfer(tmp_path, rng):
     assert res["all"]["estimated_total_tokens"] == 900
     read = sum(r.bytes_read for r in transferred)
     assert read < 0.5 * total, (read, total)  # skipped the fat column
+
+
+def test_estimate_with_rows_distribution(tmp_path, rng):
+    """Stratified mode: known rows-by-group (count_rows output format)
+    replaces footer counting (estimate_tokens_stratified.py semantics)."""
+    from tokenize_audio_tpu.analytics.estimate_tokens import TokenEstimator
+    from tokenize_audio_tpu.datasets.parquet_utils import write_parquet
+
+    hub = LocalHub(str(tmp_path / "hub"))
+    rows = [{"id": f"r{i}", "text": "a b"} for i in range(5)]
+    local = write_parquet(rows, str(tmp_path / "f.parquet"))
+    hub.upload_file(local, "en/f.parquet")
+
+    class WSTok:
+        def encode(self, t):
+            return t.split()
+
+    est = TokenEstimator(WSTok())
+    res = est.estimate_hub_dataset(
+        hub, group_depth=1, rows_distribution={"en": {"files": 99, "rows": 1000}}
+    )
+    assert res["en"]["total_rows"] == 1000
+    assert res["en"]["estimated_total_tokens"] == 2000

@@ -191,3 +191,35 @@ def test_scan_and_queue_local(tmp_path, rng, tiny_oracle):
     assert hub.exists("data/en000/00000005.json")
     assert not hub.exists("data/en000/00000006.json")
     assert not os.path.exists(os.path.join(work, "en000", "00000006.out.json"))
+
+
+def test_url_source_head_and_stream(tmp_path):
+    """UrlSource HEAD-checks availability and streams tar+json from raw
+    URLs (process_shard.py:313-341, :944-985) — served by a loopback
+    HTTP server."""
+    import http.server
+    import threading
+
+    from tokenize_audio_tpu.datasets.yodas2 import UrlSource
+
+    root = tmp_path / "www"
+    (root / "en000").mkdir(parents=True)
+    (root / "en000" / "00000000.tar.gz").write_bytes(b"TARBYTES")
+    (root / "en000" / "00000000.json").write_bytes(b"{}")
+
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(root), **k
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        src = UrlSource(base, max_retries=2, base_delay=0.01)
+        assert src.available("en000", "00000000") is True
+        assert src.available("en000", "00000001") is False
+        tar, txt = src.fetch("en000", "00000000", str(tmp_path / "dl"))
+        assert open(tar, "rb").read() == b"TARBYTES"
+        assert open(txt, "rb").read() == b"{}"
+    finally:
+        srv.shutdown()

@@ -37,6 +37,7 @@ class TokenEstimator:
         sample_rows: int = 200,
         seed: int = 0,
         group_depth: int = 0,
+        rows_distribution: Dict[str, int] | None = None,
     ) -> Dict[str, Dict]:
         """Per group: sample rows across files, mean tokens/row x total rows
         (estimate_tokens.py extrapolation).
@@ -45,7 +46,13 @@ class TokenEstimator:
         gives total_rows, and samples come from ONE random row group's text
         column, so a multi-GB parquet costs only that column chunk instead
         of a full download (the scale fix the reference applies to counting
-        in count_dataset_rows.py:66-88, extended here to sampling)."""
+        in count_dataset_rows.py:66-88, extended here to sampling).
+
+        ``rows_distribution`` (group -> row count, or count_rows JSON
+        output) replaces footer counting with known totals — the stratified
+        per-language mode (estimate_tokens_stratified.py:23-270, whose
+        145-language table this framework GENERATES via
+        ``analytics.count_rows --group-depth N`` instead of hard-coding)."""
         import pyarrow.parquet as pq
 
         rng = random.Random(seed)
@@ -55,6 +62,12 @@ class TokenEstimator:
             key = "/".join(f.split("/")[:group_depth]) if group_depth else "all"
             groups.setdefault(key, []).append(f)
         out: Dict[str, Dict] = {}
+        known = None
+        if rows_distribution is not None:
+            known = {
+                k: (v["rows"] if isinstance(v, dict) else int(v))
+                for k, v in rows_distribution.items()
+            }
         for key, gfiles in sorted(groups.items()):
             total_rows = 0
             sampled_texts: List[str] = []
@@ -67,6 +80,8 @@ class TokenEstimator:
                 texts = pf.read_row_group(g, columns=col)[self.text_field].to_pylist()
                 take = texts if len(texts) <= per_file else rng.sample(texts, per_file)
                 sampled_texts += take
+            if known is not None and key in known:
+                total_rows = known[key]
             tokens = self.count_tokens(sampled_texts)
             mean = tokens / len(sampled_texts) if sampled_texts else 0.0
             out[key] = {
@@ -104,7 +119,16 @@ def main(argv=None):
     ap.add_argument("--sample-rows", type=int, default=200)
     ap.add_argument("--group-depth", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--rows-distribution",
+        help="JSON file of group -> rows (accepts analytics.count_rows "
+        "output) for stratified extrapolation with known totals",
+    )
     args = ap.parse_args(argv)
+    rows_dist = None
+    if args.rows_distribution:
+        with open(args.rows_distribution) as f:
+            rows_dist = json.load(f)
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
@@ -117,6 +141,7 @@ def main(argv=None):
                 sample_rows=args.sample_rows,
                 seed=args.seed,
                 group_depth=args.group_depth,
+                rows_distribution=rows_dist,
             ),
             indent=1,
         )

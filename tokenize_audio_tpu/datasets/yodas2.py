@@ -97,6 +97,73 @@ class HubSource:
         return dtar, dtxt
 
 
+class UrlSource:
+    """Raw-HTTP source: HEAD-checks availability and streams
+    ``{base}/{shard}/{subshard}.tar.gz`` + ``.json`` straight from URLs with
+    exponential backoff — the reference's direct download path
+    (yodas2-mimi/process_shard.py:313-341 streaming with 2^k backoff,
+    :944-985 HEAD availability with retries)."""
+
+    def __init__(self, base_url: str, max_retries: int = 4, base_delay: float = 2.0):
+        self.base_url = base_url.rstrip("/")
+        self.max_retries = max_retries
+        self.base_delay = base_delay
+
+    def _urls(self, shard_id: str, subshard_id: str) -> Tuple[str, str]:
+        base = f"{self.base_url}/{shard_id}/{subshard_id}"
+        return f"{base}.tar.gz", f"{base}.json"
+
+    def _retry(self, fn, what: str):
+        import random as _random
+        import time as _time
+
+        for attempt in range(self.max_retries):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — network errors of many kinds
+                if attempt == self.max_retries - 1:
+                    raise
+                delay = self.base_delay * (2**attempt) + _random.uniform(0, 1)
+                logger.warning("%s failed (%s); retry in %.1fs", what, e, delay)
+                _time.sleep(delay)
+
+    def available(self, shard_id: str, subshard_id: str) -> bool:
+        import requests
+
+        def head_ok(url: str) -> bool:
+            r = requests.head(url, allow_redirects=True, timeout=30)
+            if r.status_code == 404:
+                return False
+            r.raise_for_status()
+            return True
+
+        tar, txt = self._urls(shard_id, subshard_id)
+        return self._retry(lambda: head_ok(tar), f"HEAD {tar}") and self._retry(
+            lambda: head_ok(txt), f"HEAD {txt}"
+        )
+
+    def fetch(self, shard_id: str, subshard_id: str, dest_dir: str) -> Tuple[str, str]:
+        import requests
+
+        os.makedirs(dest_dir, exist_ok=True)
+        out = []
+        for url in self._urls(shard_id, subshard_id):
+            dest = os.path.join(dest_dir, os.path.basename(url))
+
+            def stream(url=url, dest=dest):
+                with requests.get(url, stream=True, timeout=60) as r:
+                    r.raise_for_status()
+                    tmp = f"{dest}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        for chunk in r.iter_content(1 << 20):
+                            f.write(chunk)
+                    os.replace(tmp, dest)
+
+            self._retry(stream, f"GET {url}")
+            out.append(dest)
+        return out[0], out[1]
+
+
 # ---------------------------------------------------------------------------
 # Chunk parsing
 # ---------------------------------------------------------------------------
@@ -390,7 +457,7 @@ class Yodas2ShardProcessor:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--shard-id", required=True)
-    ap.add_argument("--source", required=True, help="dir:/mirror or hf:org/repo")
+    ap.add_argument("--source", required=True, help="dir:/mirror, hf:org/repo, or https://base/url")
     ap.add_argument("--hub", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_yodas2")
     ap.add_argument("--progress-dir", required=True)
@@ -407,6 +474,8 @@ def main(argv=None):
     engine = engine_from_args(args, num_codebooks=MimiConfig().num_quantizers)
     if args.source.startswith("dir:"):
         source: Yodas2Source = LocalSource(args.source[4:])
+    elif args.source.startswith(("http:", "https:")):
+        source = UrlSource(args.source)
     else:
         source = HubSource(open_hub(args.source))
     proc = Yodas2ShardProcessor(

@@ -172,3 +172,50 @@ def test_engine_unmasked_mode_usable(tiny_oracle, rng):
     padded[:n] = audio
     ref = ref_codes(model, padded)[:, : got.shape[1]]
     assert (got == ref).all()
+
+
+def test_long_audio_policy_stream_is_exact(tiny_oracle, rng):
+    """long_audio_policy="stream": >cap utterances get codes bit-identical
+    to a one-shot encode of the whole stream — no receptive-field cuts —
+    while "split" (reference parity) differs across the cut."""
+    import jax.numpy as jnp
+
+    from tokenize_audio_tpu.mimi.model import encode as raw_encode
+
+    _, params, cfg = tiny_oracle
+    spf = 1920
+    audio = (rng.standard_normal(9 * spf) * 0.3).astype(np.float32)
+
+    def engine_with(policy):
+        return MimiEncoderEngine(
+            params,
+            cfg,
+            EngineConfig(
+                batch_size=2,
+                min_bucket_seconds=0.25,
+                max_chunk_seconds=4 * spf / 24_000,  # tiny cap: audio is >2x cap
+                long_audio_policy=policy,
+            ),
+        )
+
+    one_shot, v = raw_encode(
+        params, cfg, jnp.asarray(audio[None]), jnp.asarray([len(audio)])
+    )
+    one_shot = np.asarray(one_shot)[0, :, : int(np.asarray(v)[0])]
+
+    got_stream = engine_with("stream").encode_batch([audio])[0]
+    assert got_stream.shape == one_shot.shape
+    assert (got_stream == one_shot).all()
+
+    got_split = engine_with("split").encode_batch([audio])[0]
+    assert got_split.shape == one_shot.shape
+    assert (got_split != one_shot).any()  # the cut is real
+
+    # short utterances in the same batch still take the bucketed path
+    short = (rng.standard_normal(2 * spf) * 0.3).astype(np.float32)
+    both = engine_with("stream").encode_batch([short, audio])
+    assert (both[1] == one_shot).all()
+    ref_short, v2 = raw_encode(
+        params, cfg, jnp.asarray(short[None]), jnp.asarray([len(short)])
+    )
+    assert (both[0] == np.asarray(ref_short)[0, :, :2]).all()

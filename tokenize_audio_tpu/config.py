@@ -74,6 +74,15 @@ class EngineConfig:
     # dropped), restoring receptive field across the 60 s cuts the reference
     # hard-breaks. 0 = exact reference split semantics.
     split_context_seconds: float = 0.0
+    # what to do with audio over max_chunk_seconds:
+    #   "split"  — reference parity: independent <=cap pieces, codes
+    #              concatenated (yodas2-mimi/process_shard.py:436-493)
+    #   "stream" — EXACT codes via the streaming encoder (conv caches + KV
+    #              cache; bit-identical to a one-shot encode of the whole
+    #              stream) up to stream_max_seconds, beyond which the split
+    #              fallback applies at that much larger boundary
+    long_audio_policy: str = "split"
+    stream_max_seconds: float = 320.0  # HF one-shot horizon (8000 positions @25 Hz)
 
     @property
     def max_chunk_samples(self) -> int:

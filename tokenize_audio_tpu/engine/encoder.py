@@ -172,17 +172,21 @@ class MimiEncoderEngine:
         pieces: List[np.ndarray] = []
         piece_of: List[int] = []
         piece_drop: List[int] = []  # leading context frames to discard
+        streamed: dict[int, np.ndarray] = {}
         cap = self.engine_cfg.max_chunk_samples
         ctx = int(self.engine_cfg.split_context_seconds * self.engine_cfg.sample_rate)
         for i, a in enumerate(prepared):
+            self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
+            self.stats.utterances += 1
+            if self.engine_cfg.long_audio_policy == "stream" and len(a) > cap:
+                streamed[i] = self._encode_streaming(a)
+                continue
             for p, drop in split_long_audio_with_context(
                 a, cap, ctx, self.cfg.samples_per_frame
             ):
                 pieces.append(p)
                 piece_of.append(i)
                 piece_drop.append(drop)
-            self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
-            self.stats.utterances += 1
 
         # group by bucket and chunk into device batches
         order = sorted(range(len(pieces)), key=lambda j: len(pieces[j]))
@@ -226,9 +230,41 @@ class MimiEncoderEngine:
             drop = piece_drop[p_idx]
             out[owner].append(c[:, drop:] if drop else c)
         return [
-            parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
-            for parts in out
+            streamed[i]
+            if i in streamed
+            else (parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1))
+            for i, parts in enumerate(out)
         ]
+
+    def _encode_streaming(self, audio: np.ndarray) -> np.ndarray:
+        """Exact long-audio encode: codes bit-identical to a one-shot encode
+        of the whole stream (no 60 s receptive-field cuts), in bounded
+        memory via conv-cache + KV-cache streaming. Streams longer than
+        stream_max_seconds (the HF one-shot horizon) are cut at THAT
+        boundary and each piece streamed exactly."""
+        from tokenize_audio_tpu.mimi.streaming import StreamingMimiEncoder
+
+        if getattr(self, "_stream_encoder", None) is None:
+            self._stream_encoder = StreamingMimiEncoder(
+                self.params,
+                self.cfg,
+                batch=1,
+                chunk_seconds=8.0,
+                max_seconds=self.engine_cfg.stream_max_seconds,
+                num_quantizers=self.num_codebooks,
+            )
+        enc = self._stream_encoder
+        horizon = int(self.engine_cfg.stream_max_seconds * self.engine_cfg.sample_rate)
+        # cut at whole frames so every piece encodes standalone-exactly
+        spf = self.cfg.samples_per_frame
+        horizon = horizon // spf * spf
+        parts = []
+        with self.stats.stage("stream"):
+            for s in range(0, len(audio), horizon):
+                parts.append(enc.encode_stream(audio[s : s + horizon]))
+        codes = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        self.stats.frames += codes.shape[1]
+        return codes.astype(np.uint16)
 
     def encode_chunk(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
         """Single-utterance encode (reference encode_audio_chunk,

@@ -44,3 +44,22 @@ def test_tp_sharded_encode_equals_replicated(tiny_oracle, rng):
     c_tp, _ = encode(p_tp, cfg, a, v)
 
     np.testing.assert_array_equal(np.asarray(c_rep), np.asarray(c_tp))
+
+
+def test_multihost_helpers_single_process():
+    """multihost helpers degrade to plain sharded device_put/asarray under
+    one process, so engine code is process-count agnostic."""
+    import jax
+    import numpy as np
+
+    from tokenize_audio_tpu.parallel import multihost
+    from tokenize_audio_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], dp=8, tp=1)
+    batch = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    g = multihost.host_local_to_global(batch, mesh)
+    assert g.shape == (16, 3)
+    assert str(g.sharding.spec) == "PartitionSpec('data',)"
+    back = multihost.local_rows(g)
+    assert (back == batch).all()
+    assert multihost.process_span(16) == (0, 16)

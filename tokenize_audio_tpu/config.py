@@ -83,6 +83,11 @@ class EngineConfig:
     #              fallback applies at that much larger boundary
     long_audio_policy: str = "split"
     stream_max_seconds: float = 320.0  # HF one-shot horizon (8000 positions @25 Hz)
+    # device->host dtype for fetched codes. uint16 is lossless (codebook
+    # 2048) and halves bytes on the wire; int32 avoids the sub-word
+    # conversion kernel on hardware where that costs more than transfer.
+    # Measure per fabric: scripts/fetch_dtype_probe.py.
+    code_transfer_dtype: str = "uint16"
 
     @property
     def max_chunk_samples(self) -> int:

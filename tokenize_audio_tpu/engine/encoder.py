@@ -118,9 +118,8 @@ class MimiEncoderEngine:
                 v,
                 num_quantizers=self.num_codebooks,
                 masked=self.masked,
-                # uint16 is lossless for codebook 2048 and halves the
-                # device->host code transfer (the r1 bench's fetch wall)
-                code_dtype="uint16",
+                # lossless narrow transfer dtype (see EngineConfig note)
+                code_dtype=self.engine_cfg.code_transfer_dtype,
             )
         return codes, valid, n_real
 

@@ -1,0 +1,88 @@
+"""Multi-host (pod-slice) helpers for in-process data parallelism.
+
+The production layout is the reference's shared-nothing cluster DP — one
+engine process per host, fanned out by ``runner/pod_runner.py`` with
+hub-as-ledger idempotence (SURVEY §2.2) — which needs nothing from this
+module. These helpers cover the OPTIONAL in-process alternative: one
+logical engine spanning all hosts of a TPU slice, batch sharded over ICI.
+
+    from tokenize_audio_tpu.parallel import multihost
+    multihost.init_distributed()            # env-driven on TPU pods
+    mesh = multihost.global_mesh()          # all chips of the slice
+    engine = MimiEncoderEngine(params, cfg, ecfg, mesh=mesh)
+
+Under a multi-process runtime each host feeds its own rows
+(``host_local_to_global`` assembles the global sharded batch without any
+cross-host copy of audio data) and reads back only its addressable rows —
+codes never cross DCN; only XLA's ICI collectives run inside the step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime. On Cloud TPU pods all three
+    arguments are discovered from the environment; pass them explicitly for
+    other fabrics. Must run before any other JAX call in the process."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def global_mesh(dp: Optional[int] = None, tp: int = 1):
+    """A (data, model) mesh over every chip of the slice (all processes).
+    Identical to parallel.mesh.make_mesh but explicit that jax.devices()
+    is GLOBAL under a multi-process runtime."""
+    from tokenize_audio_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(dp=dp, tp=tp)
+
+
+def host_local_to_global(batch: np.ndarray, mesh, spec=None):
+    """Assemble a globally-sharded array from each process's local rows.
+
+    Single-process: plain device_put with the sharding (so engine code is
+    process-count agnostic). Multi-process: every host contributes its
+    ``batch`` as its shard of the leading (data) axis — the global batch
+    size is ``batch.shape[0] * process_count`` and no audio bytes cross
+    hosts.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, spec if spec is not None else P("data"))
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, batch)
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in axis order.
+    The inverse of host_local_to_global for reading results back without
+    fetching other hosts' shards over DCN."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(global_array)
+    shards = sorted(
+        (s for s in global_array.addressable_shards), key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def process_span(n_global_rows: int) -> tuple[int, int]:
+    """[start, stop) row range this process owns of an evenly batch-sharded
+    global axis."""
+    import jax
+
+    per = n_global_rows // jax.process_count()
+    start = per * jax.process_index()
+    return start, start + per

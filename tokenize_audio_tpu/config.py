@@ -84,10 +84,12 @@ class EngineConfig:
     long_audio_policy: str = "split"
     stream_max_seconds: float = 320.0  # HF one-shot horizon (8000 positions @25 Hz)
     # device->host dtype for fetched codes. uint16 is lossless (codebook
-    # 2048) and halves bytes on the wire; int32 avoids the sub-word
-    # conversion kernel on hardware where that costs more than transfer.
-    # Measure per fabric: scripts/fetch_dtype_probe.py.
-    code_transfer_dtype: str = "uint16"
+    # 2048) and halves bytes on the wire, but on the axon-tunnel v5e the
+    # within-process A/B (scripts/fetch_dtype_probe.py) showed int32 wins
+    # end-to-end every interleaved round — the sub-word convert/layout cost
+    # on device exceeds the wire savings (raw device_get alone DOES favor
+    # uint16 ~10x). Measure per fabric before changing.
+    code_transfer_dtype: str = "int32"
 
     @property
     def max_chunk_samples(self) -> int:

@@ -121,6 +121,14 @@ class MimiEncoderEngine:
                 # lossless narrow transfer dtype (see EngineConfig note)
                 code_dtype=self.engine_cfg.code_transfer_dtype,
             )
+            # queue the device->host copy now: it starts the moment compute
+            # finishes, overlapping with collection of earlier batches
+            # instead of serializing behind it (transport-bound fabrics)
+            try:
+                codes.copy_to_host_async()
+                valid.copy_to_host_async()
+            except AttributeError:  # CPU arrays under the test mesh
+                pass
         return codes, valid, n_real
 
     def _collect(self, handle) -> List[np.ndarray]:

@@ -68,6 +68,13 @@ class MimiConfig:
     # kernel, tokenize_audio_tpu/ops/pallas/rvq.py). Both produce identical
     # codes; pallas keeps the whole chain in VMEM with per-book prefetch.
     rvq_backend: str = "xla"
+    # SEANet stage backend: "xla" (causal_conv1d chain) or "pallas" (fused
+    # per-stage kernel, ops/pallas/seanet.py: resblock + ELU + strided
+    # downsample in VMEM, one HBM read/write per stage). The fused kernel's
+    # summation order differs from the XLA conv (f32 deltas ~1e-5 before
+    # RVQ); code agreement is measured, not bit-guaranteed — see NOTES.md.
+    # Applies only to the standard geometry (num_residual_layers=1).
+    seanet_backend: str = "xla"
     # "float32" (default): bit-exact codes vs HF MimiModel.encode fp32.
     # "bfloat16": SEANet + transformer compute in bf16 on the MXU fast path
     # (LayerNorm/softmax/RoPE/RVQ stay f32); codes are NOT guaranteed

@@ -125,7 +125,39 @@ def seanet_encode(
     x, valid = causal_conv1d(
         x, valid, params["enc_in"]["w"], params["enc_in"]["b"], pad_mode=cfg.pad_mode
     )
+    use_fused = (
+        cfg.seanet_backend == "pallas"
+        and cfg.num_residual_layers == 1
+        and cfg.residual_kernel_size == 3
+        and cfg.compress == 2
+        and cfg.pad_mode == "constant"
+        and x.dtype == jnp.float32
+    )
     for block, stride in zip(params["blocks"], cfg.encoder_strides):
+        if use_fused and block["down"]["w"].shape[-1] == 2 * stride:
+            from tokenize_audio_tpu.ops.pallas.seanet import seanet_stage_pallas
+
+            res = block["res"][0]
+            v_in = (
+                valid
+                if valid is not None
+                else jnp.full((x.shape[0],), x.shape[-1], dtype=jnp.int32)
+            )
+            x, new_v = seanet_stage_pallas(
+                x,
+                v_in,
+                res["c1"]["w"],
+                res["c1"]["b"],
+                res["c2"]["w"],
+                res["c2"]["b"],
+                block["down"]["w"],
+                block["down"]["b"],
+                stride,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if valid is not None:
+                valid = new_v
+            continue
         for j, res in enumerate(block["res"]):
             residual = x
             h = _elu(x)

@@ -56,7 +56,8 @@ def _dot(a, b):
 
 def _stage_kernel(
     x_ref,      # (1, C, TT)
-    valid_ref,  # (1, 1) int32 in SMEM
+    valid_ref,  # (B, 1) int32, whole array in SMEM (per-row blocks violate
+                # the TPU (8,128) block rule; indexed by program_id instead)
     w3_ref,     # (3, C2, C)
     b3_ref,     # (C2, 1)
     w1_ref,     # (C, C2)
@@ -94,7 +95,7 @@ def _stage_kernel(
 
     # masked semantics: zero positions >= valid (x is already zero there;
     # the conv biases are not)
-    v = valid_ref[0, 0]
+    v = valid_ref[pl.program_id(0), 0]
     pos = t * tt + jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
     y = jnp.where(pos < v, y, 0.0)
 
@@ -165,7 +166,7 @@ def seanet_stage_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, c, tt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((3, c2, c), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),

@@ -41,7 +41,9 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _elu(x):
-    return jnp.where(x > 0, x, jnp.expm1(x))
+    # Mosaic has no expm1 lowering; tanh(x/2)*(exp(x)+1) == expm1(x) and
+    # keeps accuracy near 0 (exp(x)-1 would cancel catastrophically there)
+    return jnp.where(x > 0, x, jnp.tanh(x * 0.5) * (jnp.exp(x) + 1.0))
 
 
 def _dot(a, b):

@@ -134,7 +134,7 @@ def seanet_encode(
         and x.dtype == jnp.float32
     )
     for block, stride in zip(params["blocks"], cfg.encoder_strides):
-        if use_fused and block["down"]["w"].shape[-1] == 2 * stride:
+        if use_fused:
             from tokenize_audio_tpu.ops.pallas.seanet import seanet_stage_pallas
 
             res = block["res"][0]

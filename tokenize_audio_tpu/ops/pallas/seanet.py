@@ -103,8 +103,10 @@ def _resblock_kernel(
 
 
 def _tile_for(c: int) -> int:
-    """Tile width: big lane dims, ~4 live (C, tile) arrays within VMEM."""
-    t = (1 << 20) // c
+    """Tile width: ~32*C*tile bytes live in VMEM (double-buffered in/out
+    blocks + ~4 intermediates), so C*tile <= 256k keeps us inside the 16 MB
+    scoped limit with headroom."""
+    t = (1 << 18) // c
     return max(512, min(8192, t // 128 * 128))
 
 

@@ -184,3 +184,36 @@ def test_common_voice_mp3_bytes_end_to_end(tmp_path, rng, tiny_oracle):
     assert rep["status"] == "processed" and rep["rows"] == 6
     out = read_parquet(str(tmp_path / "dst" / "en" / "shard0.parquet"))
     assert {r["id"] for r in out} == {f"cv{i}_type{t}" for i in range(3) for t in (1, 2)}
+
+
+def test_emilia_corrupt_member_skipped(tmp_path, rng, tiny_oracle):
+    """A corrupt mp3 inside the tar drops that utterance, not the shard
+    (per-item isolation; the shard still uploads with the good rows)."""
+    from tokenize_audio_tpu.datasets.emilia import EmiliaShardProcessor
+
+    shard = "EN_B00001"
+    src_dir = tmp_path / "tar_src"
+    src_dir.mkdir()
+    good = f"{shard}_S00001_W000000"
+    audio = (rng.standard_normal(int(SR * 0.4)) * 0.2).astype(np.float32)
+    (src_dir / f"{good}.mp3").write_bytes(
+        encode_mp3((audio * 32000).astype(np.int16), SR)
+    )
+    json.dump({"text": "ok", "speaker": "SPEAKER_01"}, open(src_dir / f"{good}.json", "w"))
+    bad = f"{shard}_S00002_W000000"
+    (src_dir / f"{bad}.mp3").write_bytes(b"\x00" * 400)  # not an mp3
+    json.dump({"text": "bad", "speaker": "SPEAKER_02"}, open(src_dir / f"{bad}.json", "w"))
+
+    tar_path = tmp_path / f"{shard}.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        tf.add(src_dir, arcname=shard)
+    src = LocalHub(str(tmp_path / "src_hub"))
+    src.upload_file(str(tar_path), f"Emilia/EN/{shard}.tar")
+
+    rep = EmiliaShardProcessor(
+        "Emilia", "EN", shard, src, LocalHub(str(tmp_path / "dst_hub")),
+        make_engine(tiny_oracle), str(tmp_path / "work"),
+    ).process()
+    assert rep["status"] == "processed"
+    assert rep["failed_files"] == [bad]
+    assert rep["rows"] == 2  # the good speaker's type1+type2

@@ -186,10 +186,19 @@ class EmiliaShardProcessor:
                 }
             batch.clear()
 
+        failed: List[str] = []
         for uid, apath, jpath in todo:
-            with open(jpath) as f:
-                meta = json.load(f)
-            audio, sr = decode_audio(apath)
+            try:
+                with open(jpath) as f:
+                    meta = json.load(f)
+                audio, sr = decode_audio(apath)
+            except (ValueError, OSError, json.JSONDecodeError) as e:
+                # corrupt member: skip the utterance, keep the shard — the
+                # reference's per-item isolation (its librosa.load failures
+                # drop the file, not the shard)
+                logger.warning("skipping %s: %s", uid, e)
+                failed.append(uid)
+                continue
             batch.append((uid, self.engine.prepare_audio(audio, sr), meta))
             if len(batch) >= self.engine.engine_cfg.batch_size:
                 flush_batch()
@@ -211,7 +220,12 @@ class EmiliaShardProcessor:
         os.unlink(local_out)
         shutil.rmtree(extract_dir, ignore_errors=True)
         os.unlink(self.cache_path)
-        return {"shard": self.shard_id, "status": "processed", "rows": len(rows)}
+        return {
+            "shard": self.shard_id,
+            "status": "processed",
+            "rows": len(rows),
+            "failed_files": failed,
+        }
 
 
 def main(argv=None):

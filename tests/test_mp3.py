@@ -217,3 +217,21 @@ def test_emilia_corrupt_member_skipped(tmp_path, rng, tiny_oracle):
     assert rep["status"] == "processed"
     assert rep["failed_files"] == [bad]
     assert rep["rows"] == 2  # the good speaker's type1+type2
+
+
+def test_id3v2_prefix_handled():
+    """Real corpus mp3s carry ID3v2 tags; mpg123 skips them and the magic
+    sniffer routes 'ID3'-prefixed bytes to the mp3 decoder."""
+    x = sine(0.5)
+    frames = encode_mp3((x * 32000).astype(np.int16), SR)
+    # minimal ID3v2.3 header: "ID3", ver 3.0, no flags, syncsafe size
+    payload = b"\x00" * 64
+    size = len(payload)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    tagged = b"ID3\x03\x00\x00" + syncsafe + payload + frames
+    audio, sr = read_mp3(tagged)
+    assert sr == SR and len(audio) >= len(x)
+    via_registry, sr2 = decode_audio(tagged)
+    assert sr2 == SR and len(via_registry) == len(audio)

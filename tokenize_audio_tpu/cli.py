@@ -17,9 +17,18 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--fast",
         action="store_true",
-        help="bfloat16 compute (higher throughput; codes not bit-guaranteed)",
+        help="bfloat16 compute (~2.6x raw throughput; NOT a parity mode — "
+        "measured ~33%% code match on realistic codebooks, see NOTES.md)",
     )
     ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--seanet-backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument(
+        "--long-audio-policy",
+        default="split",
+        choices=["split", "stream"],
+        help="split = reference-parity 60s cuts; stream = exact codes via "
+        "the streaming encoder up to 320s",
+    )
 
 
 def engine_from_args(
@@ -36,6 +45,7 @@ def engine_from_args(
     cfg = MimiConfig(
         compute_dtype="bfloat16" if getattr(args, "fast", False) else "float32",
         rvq_backend=getattr(args, "rvq_backend", "xla"),
+        seanet_backend=getattr(args, "seanet_backend", "xla"),
     )
     if args.params:
         params = params_from_safetensors(args.params, cfg)
@@ -48,6 +58,7 @@ def engine_from_args(
         batch_size=args.batch_size,
         samples_per_batch=getattr(args, "samples_per_batch", None),
         max_chunk_seconds=getattr(args, "max_chunk_seconds", 60.0),
+        long_audio_policy=getattr(args, "long_audio_policy", "split"),
         **engine_overrides,
     )
     return MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)

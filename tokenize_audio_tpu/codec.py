@@ -41,6 +41,26 @@ class MimiCodec:
 
         return cls(params_from_safetensors(path), **kwargs)
 
+    @classmethod
+    def from_hf_dir(cls, snapshot_dir: str, **kwargs) -> "MimiCodec":
+        """Load from a local HF snapshot directory (config.json +
+        model.safetensors) — the offline equivalent of the reference's
+        ``MimiModel.from_pretrained("kyutai/mimi")``
+        (yodas2-mimi/process_shard.py:188-195), honoring any non-default
+        checkpoint configuration."""
+        import json
+        import os
+
+        from tokenize_audio_tpu.mimi.weights import params_from_safetensors
+
+        with open(os.path.join(snapshot_dir, "config.json")) as f:
+            raw = json.load(f)
+        cfg = _config_from_json(raw)
+        params = params_from_safetensors(
+            os.path.join(snapshot_dir, "model.safetensors"), cfg
+        )
+        return cls(params, cfg=cfg, **kwargs)
+
     # -- encode ------------------------------------------------------------
 
     def encode(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
@@ -90,3 +110,15 @@ class MimiCodec:
             )
         )
         return self.decode(codes)
+
+
+def _config_from_json(raw: dict) -> MimiConfig:
+    """Map an HF config.json dict onto MimiConfig (subset of
+    mimi.weights.config_from_hf that needs no transformers import)."""
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(MimiConfig)}
+    kw = {k: v for k, v in raw.items() if k in fields}
+    if "upsampling_ratios" in kw:
+        kw["upsampling_ratios"] = tuple(kw["upsampling_ratios"])
+    return MimiConfig(**kw)

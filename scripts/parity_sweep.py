@@ -18,6 +18,14 @@ def main():
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-seconds", type=float, default=20.0)
+    ap.add_argument("--min-seconds", type=float, default=0.2)
+    ap.add_argument(
+        "--sensitive",
+        action="store_true",
+        help="mask-sensitive oracle (LayerScale 1.0, boosted init) — makes "
+        "attention-mask bugs visible at production scale (the default "
+        "LayerScale 0.01 oracle hides them below the RVQ argmin threshold)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "tests")
@@ -29,7 +37,12 @@ def main():
     from tokenize_audio_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    model, params, cfg = make_oracle()
+    hf_cfg = None
+    if args.sensitive:
+        from transformers import MimiConfig as HFMimiConfig
+
+        hf_cfg = HFMimiConfig(layer_scale_initial_scale=1.0, initializer_range=0.1)
+    model, params, cfg = make_oracle(hf_cfg)
     engine = MimiEncoderEngine(
         params,
         cfg,
@@ -38,8 +51,10 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     lengths = np.clip(
-        rng.lognormal(mean=1.2, sigma=0.9, size=args.n), 0.2, args.max_seconds
+        rng.lognormal(mean=1.2, sigma=0.9, size=args.n), args.min_seconds, args.max_seconds
     )
+    if args.min_seconds > 2:  # long-sweep mode: spread uniformly instead
+        lengths = rng.uniform(args.min_seconds, args.max_seconds, size=args.n)
     audios = [
         (rng.standard_normal(int(s * 24_000)) * 0.3).astype(np.float32) for s in lengths
     ]

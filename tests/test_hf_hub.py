@@ -177,6 +177,7 @@ def test_read_range_uses_range_header(hub, monkeypatch):
 
     class FakeResp:
         content = b"abcd"
+        status_code = 206
 
         def raise_for_status(self):
             pass
@@ -195,3 +196,11 @@ def test_read_range_uses_range_header(hub, monkeypatch):
     monkeypatch.setattr(type(h), "_session", lambda self: FakeSession())
     assert h.read_range("data/a.parquet", 100, 4) == b"abcd"
     assert seen["range"] == "bytes=100-103"
+
+    # a server that ignores Range (200 + full body) still yields the window
+    class FullResp(FakeResp):
+        status_code = 200
+        content = bytes(range(200))
+
+    FakeSession.get = lambda self, url, headers=None, **kw: FullResp()
+    assert h.read_range("data/a.parquet", 10, 4) == bytes([10, 11, 12, 13])

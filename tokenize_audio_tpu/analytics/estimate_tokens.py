@@ -75,6 +75,8 @@ class TokenEstimator:
             for f in gfiles:
                 pf = pq.ParquetFile(RangeReader(hub, f))
                 total_rows += pf.metadata.num_rows
+                if pf.metadata.num_row_groups == 0:
+                    continue  # footer-only empty part-file (e.g. Spark)
                 g = rng.randrange(pf.metadata.num_row_groups)
                 col = [self.text_field] if self.text_field in pf.schema_arrow.names else None
                 texts = pf.read_row_group(g, columns=col)[self.text_field].to_pylist()

@@ -192,14 +192,15 @@ class EmiliaShardProcessor:
                 with open(jpath) as f:
                     meta = json.load(f)
                 audio, sr = decode_audio(apath)
+                prepared = self.engine.prepare_audio(audio, sr)
             except (ValueError, OSError, json.JSONDecodeError) as e:
-                # corrupt member: skip the utterance, keep the shard — the
-                # reference's per-item isolation (its librosa.load failures
-                # drop the file, not the shard)
+                # corrupt/malformed member: skip the utterance, keep the
+                # shard — the reference's per-item isolation (its
+                # librosa.load failures drop the file, not the shard)
                 logger.warning("skipping %s: %s", uid, e)
                 failed.append(uid)
                 continue
-            batch.append((uid, self.engine.prepare_audio(audio, sr), meta))
+            batch.append((uid, prepared, meta))
             if len(batch) >= self.engine.engine_cfg.batch_size:
                 flush_batch()
             since_cache += 1

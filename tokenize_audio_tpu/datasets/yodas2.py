@@ -114,18 +114,11 @@ class UrlSource:
         return f"{base}.tar.gz", f"{base}.json"
 
     def _retry(self, fn, what: str):
-        import random as _random
-        import time as _time
+        from tokenize_audio_tpu.net import retry_with_backoff
 
-        for attempt in range(self.max_retries):
-            try:
-                return fn()
-            except Exception as e:  # noqa: BLE001 — network errors of many kinds
-                if attempt == self.max_retries - 1:
-                    raise
-                delay = self.base_delay * (2**attempt) + _random.uniform(0, 1)
-                logger.warning("%s failed (%s); retry in %.1fs", what, e, delay)
-                _time.sleep(delay)
+        return retry_with_backoff(
+            fn, what, max_retries=self.max_retries, base_delay=self.base_delay, log=logger
+        )
 
     def available(self, shard_id: str, subshard_id: str) -> bool:
         import requests
@@ -145,21 +138,18 @@ class UrlSource:
     def fetch(self, shard_id: str, subshard_id: str, dest_dir: str) -> Tuple[str, str]:
         import requests
 
+        from tokenize_audio_tpu.net import stream_to_file
+
         os.makedirs(dest_dir, exist_ok=True)
         out = []
         for url in self._urls(shard_id, subshard_id):
             dest = os.path.join(dest_dir, os.path.basename(url))
-
-            def stream(url=url, dest=dest):
-                with requests.get(url, stream=True, timeout=60) as r:
-                    r.raise_for_status()
-                    tmp = f"{dest}.tmp.{os.getpid()}"
-                    with open(tmp, "wb") as f:
-                        for chunk in r.iter_content(1 << 20):
-                            f.write(chunk)
-                    os.replace(tmp, dest)
-
-            self._retry(stream, f"GET {url}")
+            self._retry(
+                lambda url=url, dest=dest: stream_to_file(
+                    lambda: requests.get(url, stream=True, timeout=60), dest
+                ),
+                f"GET {url}",
+            )
             out.append(dest)
         return out[0], out[1]
 

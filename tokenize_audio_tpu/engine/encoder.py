@@ -172,8 +172,10 @@ class MimiEncoderEngine:
         self, audios: Sequence[np.ndarray], sr: int = 24_000
     ) -> List[np.ndarray]:
         """Encode utterances; returns per-utterance (num_codebooks, frames)
-        int32 arrays in input order. Audio longer than the 60 s cap is split
-        and re-concatenated on the code time axis."""
+        integer arrays (EngineConfig.code_transfer_dtype, default int32) in
+        input order. Audio longer than the 60 s cap is split and
+        re-concatenated on the code time axis (or streamed exactly with
+        long_audio_policy="stream")."""
         prepared = [self._prepare(a, sr) for a in audios]
         # explode >cap audio into pieces, remembering the mapping
         pieces: List[np.ndarray] = []
@@ -271,7 +273,9 @@ class MimiEncoderEngine:
                 parts.append(enc.encode_stream(audio[s : s + horizon]))
         codes = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
         self.stats.frames += codes.shape[1]
-        return codes.astype(np.uint16)
+        # match the bucketed path's configured transfer dtype, so a batch's
+        # results share one dtype regardless of which path each row took
+        return codes.astype(np.dtype(self.engine_cfg.code_transfer_dtype))
 
     def encode_chunk(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
         """Single-utterance encode (reference encode_audio_chunk,

@@ -20,8 +20,6 @@ huggingface_hub so air-gapped deployments never touch it.
 from __future__ import annotations
 
 import logging
-import random
-import time
 from typing import List, Sequence, Tuple
 
 from tokenize_audio_tpu.hub.base import ArtifactStore
@@ -46,25 +44,38 @@ class HFHub(ArtifactStore):
         self.max_retries = max_retries
         self.base_delay = base_delay
         self._exists_cache: dict[str, bool] = {}
+        self._http_session = None
 
-    def _retry(self, fn, what: str):
-        for attempt in range(self.max_retries):
-            try:
-                return fn()
-            except Exception as e:  # noqa: BLE001 — HF raises many types; retry all transient
-                if attempt == self.max_retries - 1:
-                    raise
-                delay = self.base_delay * (2**attempt) + random.uniform(0, 1)
-                logger.warning(
-                    "%s failed (%s: %s); retry %d/%d in %.1fs",
-                    what,
-                    type(e).__name__,
-                    e,
-                    attempt + 1,
-                    self.max_retries,
-                    delay,
-                )
-                time.sleep(delay)
+    def _retry(self, fn, what: str, fatal=()):
+        from tokenize_audio_tpu.net import retry_with_backoff
+
+        return retry_with_backoff(
+            fn,
+            what,
+            max_retries=self.max_retries,
+            base_delay=self.base_delay,
+            log=logger,
+            fatal=fatal,
+        )
+
+    @staticmethod
+    def _not_found_errors():
+        """Permanent hub errors that must not be retried or masked."""
+        try:
+            from huggingface_hub.utils import (
+                EntryNotFoundError,
+                GatedRepoError,
+                RepositoryNotFoundError,
+                RevisionNotFoundError,
+            )
+        except ImportError:  # stubbed hub module (tests) — no short-circuit
+            return ()
+        return (
+            EntryNotFoundError,
+            GatedRepoError,
+            RepositoryNotFoundError,
+            RevisionNotFoundError,
+        )
 
     def exists(self, path: str) -> bool:
         if path in self._exists_cache:
@@ -137,9 +148,15 @@ class HFHub(ArtifactStore):
                     repo_id=self.repo_id, filename=repo_path, repo_type=self.repo_type
                 ),
                 f"download({repo_path})",
+                # permanent errors propagate untouched: a missing file must
+                # not burn another minute of resolve-URL retries or mask the
+                # informative EntryNotFoundError
+                fatal=self._not_found_errors(),
             )
             shutil.copyfile(got, local_path)
             return local_path
+        except self._not_found_errors():
+            raise
         except Exception:  # noqa: BLE001 — API path exhausted; try the raw URL
             logger.warning(
                 "hub API download failed for %s; falling back to resolve URL",
@@ -155,41 +172,42 @@ class HFHub(ArtifactStore):
         return hf_hub_url(self.repo_id, repo_path, repo_type=self.repo_type)
 
     def _session(self):
-        import requests
+        # one long-lived session: metadata-only scans issue 3+ ranged calls
+        # per file, and per-call TLS handshakes would dominate the few-KB
+        # transfers the ranged reads exist to achieve
+        if self._http_session is None:
+            import requests
 
-        from huggingface_hub.utils import build_hf_headers
+            from huggingface_hub.utils import build_hf_headers
 
-        s = requests.Session()
-        s.headers.update(build_hf_headers(token=self.api.token))
-        return s
+            s = requests.Session()
+            s.headers.update(build_hf_headers(token=self.api.token))
+            self._http_session = s
+        return self._http_session
 
     def _download_direct(self, repo_path: str, local_path: str) -> str:
         """Stream from the resolve URL — the reference's fallback when the
         HF API errors (prepare_pretraining_data.py:109-163)."""
-        import os
+        from tokenize_audio_tpu.net import stream_to_file
 
         url = self._resolve_url(repo_path)
-
-        def fetch():
-            with self._session() as s, s.get(url, stream=True, timeout=60) as r:
-                r.raise_for_status()
-                tmp = f"{local_path}.tmp.{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    for chunk in r.iter_content(1 << 20):
-                        f.write(chunk)
-                os.replace(tmp, local_path)
-
-        self._retry(fetch, f"direct download({repo_path})")
+        self._retry(
+            lambda: stream_to_file(
+                lambda: self._session().get(url, stream=True, timeout=60), local_path
+            ),
+            f"direct download({repo_path})",
+        )
         return local_path
 
     def size(self, repo_path: str) -> int:
         def head():
-            with self._session() as s:
-                r = s.head(self._resolve_url(repo_path), allow_redirects=True, timeout=30)
-                r.raise_for_status()
-                # hub returns the blob size in X-Linked-Size on the entry
-                # point; after redirect Content-Length is authoritative
-                return int(r.headers.get("Content-Length") or r.headers["X-Linked-Size"])
+            r = self._session().head(
+                self._resolve_url(repo_path), allow_redirects=True, timeout=30
+            )
+            r.raise_for_status()
+            # hub returns the blob size in X-Linked-Size on the entry
+            # point; after redirect Content-Length is authoritative
+            return int(r.headers.get("Content-Length") or r.headers["X-Linked-Size"])
 
         return self._retry(head, f"size({repo_path})")
 
@@ -198,13 +216,22 @@ class HFHub(ArtifactStore):
         (count_dataset_rows.py:66-88)."""
 
         def fetch():
-            with self._session() as s:
-                r = s.get(
-                    self._resolve_url(repo_path),
-                    headers={"Range": f"bytes={offset}-{offset + length - 1}"},
-                    timeout=60,
-                )
-                r.raise_for_status()
+            r = self._session().get(
+                self._resolve_url(repo_path),
+                headers={"Range": f"bytes={offset}-{offset + length - 1}"},
+                timeout=60,
+            )
+            r.raise_for_status()
+            if r.status_code == 206:
                 return r.content
+            # server/proxy ignored the Range header and sent the whole
+            # body (200): salvage the requested window rather than handing
+            # callers a multi-GB buffer mislabeled as a footer slice
+            logger.warning(
+                "range request for %s ignored (status %d); slicing full body",
+                repo_path,
+                r.status_code,
+            )
+            return r.content[offset : offset + length]
 
         return self._retry(fetch, f"read_range({repo_path})")

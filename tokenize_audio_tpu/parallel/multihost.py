@@ -72,8 +72,11 @@ def local_rows(global_array) -> np.ndarray:
 
     if jax.process_count() == 1:
         return np.asarray(global_array)
+    # replica_id filter: under tp>1 (or replication) several local devices
+    # hold copies of the same row block — keep one copy per block
     shards = sorted(
-        (s for s in global_array.addressable_shards), key=lambda s: s.index[0].start or 0
+        (s for s in global_array.addressable_shards if s.replica_id == 0),
+        key=lambda s: s.index[0].start or 0,
     )
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 

@@ -73,7 +73,9 @@ def _visible_tpu_devices():
             return int(env)
         except ValueError:
             return None
-    nodes = glob.glob("/dev/accel*") + glob.glob("/dev/vfio/*")
+    nodes = glob.glob("/dev/accel*") + [
+        p for p in glob.glob("/dev/vfio/*") if p != "/dev/vfio/vfio"
+    ]  # /dev/vfio/vfio is the container control node, not a device
     return len(nodes) or None
 
 

@@ -216,3 +216,26 @@ def test_hf_chunked_cache_is_windowed_and_diverges_from_oneshot():
         "HF chunked-with-cache now matches one-shot — transformers made the "
         "paths consistent; revisit the streaming design notes"
     )
+
+
+def test_window_convention_matches_hf_mask_function():
+    """Our windowed mask uses HF's exact convention: keys j allowed iff
+    j <= i AND j > i - sliding_window (masking_utils.sliding_window_overlay)
+    — pinned directly against the installed transformers mask function."""
+    from transformers.masking_utils import sliding_window_causal_mask_function
+
+    from tokenize_audio_tpu.mimi.model import _attention_mask
+
+    w, t = 5, 17
+    cfg = MimiConfig(sliding_window=w, use_sliding_window=True)
+    ours = np.asarray(_attention_mask(cfg, t)) == 0.0  # True = allowed
+
+    fn = sliding_window_causal_mask_function(w)
+    z = torch.zeros((), dtype=torch.long)
+    theirs = np.array(
+        [
+            [bool(fn(z, z, torch.tensor(i), torch.tensor(j))) for j in range(t)]
+            for i in range(t)
+        ]
+    )
+    assert (ours == theirs).all()

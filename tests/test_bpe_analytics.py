@@ -260,3 +260,19 @@ def test_estimate_with_rows_distribution(tmp_path, rng):
     )
     assert res["en"]["total_rows"] == 1000
     assert res["en"]["estimated_total_tokens"] == 2000
+
+
+def test_stats_markdown_with_tokens():
+    """Num Tokens column merge: XXX for missing groups, total sums only
+    existing estimates (update_stats_with_tokens.py semantics)."""
+    from tokenize_audio_tpu.analytics.count_rows import stats_markdown
+
+    groups = {
+        "en": {"files": 2, "rows": 100},
+        "de": {"files": 1, "rows": 50},
+    }
+    tokens = {"en": {"estimated_total_tokens": 1234}, "_total": {"estimated_total_tokens": 1234}}
+    md = stats_markdown(groups, tokens)
+    assert "| en | 2 | 100 | 1,234 |" in md
+    assert "| de | 1 | 50 | XXX |" in md
+    assert "| **total** | 3 | 150 | 1,234 |" in md

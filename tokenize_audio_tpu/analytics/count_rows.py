@@ -102,15 +102,36 @@ def count_hub_dataset(hub, prefix: str = "", group_depth: int = 1) -> Dict[str, 
     return dict(groups)
 
 
-def stats_markdown(groups: Dict[str, Dict]) -> str:
-    lines = ["| group | files | rows |", "|---|---:|---:|"]
-    total_f = total_r = 0
+def stats_markdown(groups: Dict[str, Dict], tokens: Dict[str, int] | None = None) -> str:
+    """Stats table; with ``tokens`` (group -> token count, or
+    estimate_tokens output) adds a Num Tokens column — groups without an
+    estimate show "XXX" and only existing counts sum into the total
+    (update_stats_with_tokens.py:77-118 semantics)."""
+    if tokens is not None:
+        tokens = {
+            k: (v.get("estimated_total_tokens") if isinstance(v, dict) else int(v))
+            for k, v in tokens.items()
+            if not k.startswith("_")
+        }
+        lines = ["| group | files | rows | num tokens |", "|---|---:|---:|---:|"]
+    else:
+        lines = ["| group | files | rows |", "|---|---:|---:|"]
+    total_f = total_r = total_t = 0
     for key in sorted(groups):
         g = groups[key]
-        lines.append(f"| {key} | {g['files']} | {g['rows']:,} |")
+        if tokens is not None:
+            t = tokens.get(key)
+            cell = f"{t:,}" if t is not None else "XXX"
+            lines.append(f"| {key} | {g['files']} | {g['rows']:,} | {cell} |")
+            total_t += t or 0
+        else:
+            lines.append(f"| {key} | {g['files']} | {g['rows']:,} |")
         total_f += g["files"]
         total_r += g["rows"]
-    lines.append(f"| **total** | {total_f} | {total_r:,} |")
+    if tokens is not None:
+        lines.append(f"| **total** | {total_f} | {total_r:,} | {total_t:,} |")
+    else:
+        lines.append(f"| **total** | {total_f} | {total_r:,} |")
     return "\n".join(lines)
 
 
@@ -122,10 +143,19 @@ def main(argv=None):
     ap.add_argument("--prefix", default="")
     ap.add_argument("--group-depth", type=int, default=1)
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument(
+        "--tokens-json",
+        help="estimate_tokens output JSON: adds a Num Tokens column to the "
+        "markdown table (XXX for groups lacking an estimate)",
+    )
     args = ap.parse_args(argv)
     groups = count_hub_dataset(open_hub(args.hub), args.prefix, args.group_depth)
-    if args.markdown:
-        print(stats_markdown(groups))
+    tokens = None
+    if args.tokens_json:
+        with open(args.tokens_json) as f:
+            tokens = json.load(f)
+    if args.markdown or tokens is not None:
+        print(stats_markdown(groups, tokens))
     else:
         print(json.dumps(groups, indent=1))
 

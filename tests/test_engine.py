@@ -219,3 +219,33 @@ def test_long_audio_policy_stream_is_exact(tiny_oracle, rng):
         params, cfg, jnp.asarray(short[None]), jnp.asarray([len(short)])
     )
     assert (both[0] == np.asarray(ref_short)[0, :, :2]).all()
+
+
+def test_engine_windowed_mode(tiny_oracle, rng):
+    """cfg.use_sliding_window=True flows through the bucketed engine:
+    per-utterance codes equal the direct windowed encode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tokenize_audio_tpu.mimi.model import encode as raw_encode
+
+    _, params, cfg = tiny_oracle
+    wcfg = dataclasses.replace(cfg, use_sliding_window=True, sliding_window=4)
+    eng = MimiEncoderEngine(
+        params, wcfg, EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=2.0)
+    )
+    spf = 1920
+    audios = [
+        (rng.standard_normal(n) * 0.3).astype(np.float32)
+        for n in (3 * spf, 11 * spf + 400)
+    ]
+    got = eng.encode_batch(audios)
+    for a, g in zip(audios, got):
+        n = len(a)
+        pad = -(-n // spf) * spf - n
+        ref, v = raw_encode(
+            params, wcfg, jnp.asarray(np.pad(a, (0, pad))[None]), jnp.asarray([n])
+        )
+        ref = np.asarray(ref)[0, :, : int(np.asarray(v)[0])]
+        assert (g == ref).all()

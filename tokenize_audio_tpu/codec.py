@@ -31,6 +31,10 @@ class MimiCodec:
         self.cfg = cfg or MimiConfig()
         self.num_codebooks = num_codebooks
         self.unicode_offset = unicode_offset
+        # the engine device-puts a pruned encode-only subtree; keep the full
+        # params on host for the decode path, uploaded lazily on first use
+        self._full_params = params
+        self._decode_params = None
         self.engine = MimiEncoderEngine(
             params, self.cfg, engine_cfg, mesh=mesh, num_codebooks=num_codebooks
         )
@@ -96,7 +100,13 @@ class MimiCodec:
         squeeze = codes.ndim == 2
         if squeeze:
             codes = codes[None]
-        audio = np.asarray(mimi_decode(self.engine.params, self.cfg, jnp.asarray(codes)))
+        if self._decode_params is None:
+            import jax
+
+            self._decode_params = jax.device_put(self._full_params)
+        audio = np.asarray(
+            mimi_decode(self._decode_params, self.cfg, jnp.asarray(codes))
+        )
         return audio[0] if squeeze else audio
 
     def str_to_audio(self, audio_str: str) -> np.ndarray:

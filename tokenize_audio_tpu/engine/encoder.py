@@ -42,6 +42,28 @@ from tokenize_audio_tpu.mimi.config import MimiConfig
 from tokenize_audio_tpu.mimi.model import encode as mimi_encode
 
 
+def _prune_for_encode(params, num_codebooks: int):
+    """Drop the param subtrees the encode path never touches: the decoder
+    stack (dec/dec_tfm/upsample), RVQ output projections, and acoustic
+    codebooks beyond the requested depth."""
+    keep = {
+        k: v
+        for k, v in params.items()
+        if k in ("enc_in", "blocks", "enc_out", "tfm", "downsample", "rvq")
+    }
+    rvq = {}
+    for head in ("semantic", "acoustic"):
+        h = dict(params["rvq"][head])
+        h.pop("out_proj", None)
+        rvq[head] = h
+    n_sem = rvq["semantic"]["embed"].shape[0]
+    n_ac = max(0, num_codebooks - min(n_sem, num_codebooks))
+    rvq["semantic"]["embed"] = rvq["semantic"]["embed"][: min(n_sem, num_codebooks)]
+    rvq["acoustic"]["embed"] = rvq["acoustic"]["embed"][:n_ac]
+    keep["rvq"] = rvq
+    return keep
+
+
 class MimiEncoderEngine:
     def __init__(
         self,
@@ -76,14 +98,15 @@ class MimiEncoderEngine:
                     f"batch_size {self.engine_cfg.batch_size} must divide evenly "
                     f"over the data mesh axis ({dp} devices)"
                 )
+            params = _prune_for_encode(params, self.num_codebooks)
             params = replicate_params(params, mesh)
             self._batch_sharding = batch_sharding(mesh)
         else:
             # place params on device once; passing host numpy params would
-            # re-transfer ~80 MB of weights on every encode call
-            import jax as _jax
-
-            params = _jax.device_put(params)
+            # re-transfer ~80 MB of weights on every encode call. Pruning
+            # first: the decoder stack and unused acoustic codebooks are
+            # ~half the checkpoint and the encode path never reads them.
+            params = jax.device_put(_prune_for_encode(params, self.num_codebooks))
         self.params = params
         self.mesh = mesh
 
@@ -258,15 +281,17 @@ class MimiEncoderEngine:
                 self.params,
                 self.cfg,
                 batch=1,
-                chunk_seconds=8.0,
+                chunk_seconds=min(8.0, self.engine_cfg.stream_max_seconds),
                 max_seconds=self.engine_cfg.stream_max_seconds,
                 num_quantizers=self.num_codebooks,
             )
         enc = self._stream_encoder
         horizon = int(self.engine_cfg.stream_max_seconds * self.engine_cfg.sample_rate)
-        # cut at whole frames so every piece encodes standalone-exactly
-        spf = self.cfg.samples_per_frame
-        horizon = horizon // spf * spf
+        # cut at whole stream chunks: every piece then fits the KV capacity
+        # even after encode_stream zero-pads its final chunk (padded frames
+        # occupy cache slots, so a whole-frame-only floor could overflow by
+        # up to one chunk)
+        horizon = max(enc.chunk_samples, horizon // enc.chunk_samples * enc.chunk_samples)
         parts = []
         with self.stats.stage("stream"):
             for s in range(0, len(audio), horizon):

@@ -133,7 +133,7 @@ def decode(params: Params, cfg: MimiConfig, codes: jax.Array) -> jax.Array:
     helper str_to_audio, librispeech-mimi/utils.py:72-81)."""
     emb = split_rvq_decode(params["rvq"], codes)
     emb = conv_transpose1d(
-        emb, params["upsample"]["w"], stride=2, groups=emb.shape[1]
+        emb, params["upsample"]["w"], stride=2, groups=cfg.upsample_groups
     )
     h = transformer_apply(params["dec_tfm"], cfg, emb.transpose(0, 2, 1))
     audio = seanet_decode(params["dec"], cfg, h.transpose(0, 2, 1))

@@ -187,17 +187,23 @@ def seanet_encode(
 # Transformer bottleneck
 # ---------------------------------------------------------------------------
 
-def _rope_tables(cfg: MimiConfig, t: int) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables in float32, matching MimiRotaryEmbedding
-    (modeling_mimi.py:505-538): inv_freq over even dims, emb = [freqs, freqs]."""
+def _rope_at(cfg: MimiConfig, pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin at arbitrary (possibly traced) absolute positions, matching
+    MimiRotaryEmbedding (modeling_mimi.py:505-538): inv_freq over even
+    dims, emb = [freqs, freqs]. One implementation serves both the batch
+    tables and the streaming encoder (whose windowed streams outlive any
+    precomputed table)."""
     hd = cfg.head_dim
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
-    pos = jnp.arange(t, dtype=jnp.float32)
-    freqs = pos[:, None] * inv_freq[None, :]  # (T, hd/2)
+    freqs = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (T, hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # (T, hd)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rope_tables(cfg: MimiConfig, t: int) -> Tuple[jax.Array, jax.Array]:
+    return _rope_at(cfg, jnp.arange(t))
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
@@ -302,6 +308,15 @@ def split_rvq_encode(
     Mirrors MimiSplitResidualVectorQuantizer.encode (modeling_mimi.py:1318-1345):
     semantic RVQ on the projected embeddings, acoustic RVQ *also on the
     original embeddings* (not the semantic residual)."""
+    avail = params["semantic"]["embed"].shape[0] + params["acoustic"]["embed"].shape[0]
+    if num_quantizers > avail:
+        # HF raises too (MimiModel.encode, modeling_mimi.py:1545-1548);
+        # silent truncation would emit fewer codebooks than callers sized
+        # their unicode vocab for
+        raise ValueError(
+            f"num_quantizers {num_quantizers} exceeds the checkpoint's "
+            f"{avail} codebooks"
+        )
     if backend == "pallas":
         from tokenize_audio_tpu.ops.pallas.rvq import rvq_encode_pallas
 

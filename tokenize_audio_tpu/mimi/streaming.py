@@ -43,6 +43,7 @@ from tokenize_audio_tpu.mimi.model import (
     _HIGHEST,
     _elu,
     _layer_norm,
+    _rope_at,
     _rope_tables,
     _rotate_half,
     split_rvq_encode,
@@ -152,18 +153,6 @@ def init_state(cfg: MimiConfig, batch: int, max_frames_25hz: int = 8000) -> Stre
 # ---------------------------------------------------------------------------
 # Step
 # ---------------------------------------------------------------------------
-
-def _rope_at(cfg: MimiConfig, pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin at arbitrary (possibly traced) absolute positions —
-    windowed streams outlive any precomputed table."""
-    hd = cfg.head_dim
-    inv_freq = 1.0 / (
-        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
-    )
-    freqs = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
-
 
 def _transformer_step(
     params: List[Dict], cfg: MimiConfig, h: jax.Array, kv: jax.Array, t_off: jax.Array
@@ -340,6 +329,7 @@ class StreamingMimiEncoder:
     def reset(self) -> None:
         self.state = init_state(self.cfg, self.batch, self.max_frames_25)
         self._frames_pushed_25 = 0
+        self._finished = False
 
     def push(self, audio: np.ndarray, valid: Optional[np.ndarray] = None) -> np.ndarray:
         """audio (B, chunk_samples) -> codes (B, K, frames) for this chunk
@@ -355,6 +345,15 @@ class StreamingMimiEncoder:
             )
         if valid is None:
             valid = np.full((audio.shape[0],), audio.shape[1], dtype=np.int32)
+        valid = np.asarray(valid, dtype=np.int32)
+        if self._finished:
+            raise ValueError(
+                "push() after a partial (valid < chunk) chunk: the conv and "
+                "KV caches now hold end-of-stream padding state, so further "
+                "chunks would silently produce wrong codes — reset() first"
+            )
+        if (valid < audio.shape[1]).any():
+            self._finished = True  # partial chunk ends the stream
         f25 = audio.shape[1] // (spf // 2)
         if (
             not self.cfg.use_sliding_window

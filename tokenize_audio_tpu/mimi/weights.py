@@ -57,6 +57,25 @@ def _rvq(sd: Mapping[str, Any], prefix: str, n_books: int) -> Dict[str, np.ndarr
     }
 
 
+def _tfm_layer(sd: Mapping[str, Any], p: str) -> Dict[str, np.ndarray]:
+    """One transformer layer's params from a state dict at prefix ``p``
+    (shared by the encoder_transformer and decoder_transformer mappings)."""
+    return {
+        "ln1_w": _np(sd[f"{p}.input_layernorm.weight"]),
+        "ln1_b": _np(sd[f"{p}.input_layernorm.bias"]),
+        "q": _np(sd[f"{p}.self_attn.q_proj.weight"]),
+        "k": _np(sd[f"{p}.self_attn.k_proj.weight"]),
+        "v": _np(sd[f"{p}.self_attn.v_proj.weight"]),
+        "o": _np(sd[f"{p}.self_attn.o_proj.weight"]),
+        "ls1": _np(sd[f"{p}.self_attn_layer_scale.scale"]),
+        "ln2_w": _np(sd[f"{p}.post_attention_layernorm.weight"]),
+        "ln2_b": _np(sd[f"{p}.post_attention_layernorm.bias"]),
+        "fc1": _np(sd[f"{p}.mlp.fc1.weight"]),
+        "fc2": _np(sd[f"{p}.mlp.fc2.weight"]),
+        "ls2": _np(sd[f"{p}.mlp_layer_scale.scale"]),
+    }
+
+
 def convert_hf_state_dict(
     sd: Mapping[str, Any], cfg: MimiConfig | None = None
 ) -> Dict[str, Any]:
@@ -89,26 +108,10 @@ def convert_hf_state_dict(
     params["blocks"] = blocks
     params["enc_out"] = _conv(sd, f"encoder.layers.{idx + 1}.conv")
 
-    tfm = []
-    for i in range(cfg.num_hidden_layers):
-        p = f"encoder_transformer.layers.{i}"
-        tfm.append(
-            {
-                "ln1_w": _np(sd[f"{p}.input_layernorm.weight"]),
-                "ln1_b": _np(sd[f"{p}.input_layernorm.bias"]),
-                "q": _np(sd[f"{p}.self_attn.q_proj.weight"]),
-                "k": _np(sd[f"{p}.self_attn.k_proj.weight"]),
-                "v": _np(sd[f"{p}.self_attn.v_proj.weight"]),
-                "o": _np(sd[f"{p}.self_attn.o_proj.weight"]),
-                "ls1": _np(sd[f"{p}.self_attn_layer_scale.scale"]),
-                "ln2_w": _np(sd[f"{p}.post_attention_layernorm.weight"]),
-                "ln2_b": _np(sd[f"{p}.post_attention_layernorm.bias"]),
-                "fc1": _np(sd[f"{p}.mlp.fc1.weight"]),
-                "fc2": _np(sd[f"{p}.mlp.fc2.weight"]),
-                "ls2": _np(sd[f"{p}.mlp_layer_scale.scale"]),
-            }
-        )
-    params["tfm"] = tfm
+    params["tfm"] = [
+        _tfm_layer(sd, f"encoder_transformer.layers.{i}")
+        for i in range(cfg.num_hidden_layers)
+    ]
 
     params["downsample"] = {"w": _np(sd["downsample.conv.weight"])}
     params["rvq"] = {
@@ -123,26 +126,10 @@ def convert_hf_state_dict(
     # --- decoder side (for codes -> audio round trips) -------------------
     if "upsample.conv.weight" in sd:
         params["upsample"] = {"w": _np(sd["upsample.conv.weight"])}
-        dec_tfm = []
-        for i in range(cfg.num_hidden_layers):
-            p = f"decoder_transformer.layers.{i}"
-            dec_tfm.append(
-                {
-                    "ln1_w": _np(sd[f"{p}.input_layernorm.weight"]),
-                    "ln1_b": _np(sd[f"{p}.input_layernorm.bias"]),
-                    "q": _np(sd[f"{p}.self_attn.q_proj.weight"]),
-                    "k": _np(sd[f"{p}.self_attn.k_proj.weight"]),
-                    "v": _np(sd[f"{p}.self_attn.v_proj.weight"]),
-                    "o": _np(sd[f"{p}.self_attn.o_proj.weight"]),
-                    "ls1": _np(sd[f"{p}.self_attn_layer_scale.scale"]),
-                    "ln2_w": _np(sd[f"{p}.post_attention_layernorm.weight"]),
-                    "ln2_b": _np(sd[f"{p}.post_attention_layernorm.bias"]),
-                    "fc1": _np(sd[f"{p}.mlp.fc1.weight"]),
-                    "fc2": _np(sd[f"{p}.mlp.fc2.weight"]),
-                    "ls2": _np(sd[f"{p}.mlp_layer_scale.scale"]),
-                }
-            )
-        params["dec_tfm"] = dec_tfm
+        params["dec_tfm"] = [
+            _tfm_layer(sd, f"decoder_transformer.layers.{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
         # MimiDecoder layer indices (modeling_mimi.py:1150-1174): conv_in at 0,
         # then per ratio ELU / ConvTranspose / n_res resnets, final ELU + conv.
         dec: Dict[str, Any] = {"conv_in": _conv(sd, "decoder.layers.0.conv")}
@@ -220,8 +207,9 @@ def random_params(cfg: MimiConfig | None = None, seed: int = 0) -> Dict[str, Any
     params["enc_out"] = {"w": w(hs, dim, cfg.last_kernel_size), "b": w(hs)}
 
     nh, hd, inter = cfg.num_attention_heads, cfg.head_dim, cfg.intermediate_size
-    params["tfm"] = [
-        {
+
+    def rand_tfm_layer():
+        return {
             "ln1_w": np.ones(hs, np.float32),
             "ln1_b": np.zeros(hs, np.float32),
             "q": w(nh * hd, hs),
@@ -235,8 +223,8 @@ def random_params(cfg: MimiConfig | None = None, seed: int = 0) -> Dict[str, Any
             "fc2": w(hs, inter),
             "ls2": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
         }
-        for _ in range(cfg.num_hidden_layers)
-    ]
+
+    params["tfm"] = [rand_tfm_layer() for _ in range(cfg.num_hidden_layers)]
     params["downsample"] = {"w": w(hs, hs, 4)}
     d = cfg.vector_quantization_hidden_dimension
     params["rvq"] = {
@@ -253,24 +241,10 @@ def random_params(cfg: MimiConfig | None = None, seed: int = 0) -> Dict[str, Any
     }
 
     # decoder side (codes -> audio)
-    params["upsample"] = {"w": w(hs, 1, 4)}  # depthwise ConvTranspose (in, out/groups, k)
-    params["dec_tfm"] = [
-        {
-            "ln1_w": np.ones(hs, np.float32),
-            "ln1_b": np.zeros(hs, np.float32),
-            "q": w(nh * hd, hs),
-            "k": w(nh * hd, hs),
-            "v": w(nh * hd, hs),
-            "o": w(hs, nh * hd),
-            "ls1": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
-            "ln2_w": np.ones(hs, np.float32),
-            "ln2_b": np.zeros(hs, np.float32),
-            "fc1": w(inter, hs),
-            "fc2": w(hs, inter),
-            "ls2": np.full(hs, cfg.layer_scale_initial_scale, np.float32),
-        }
-        for _ in range(cfg.num_hidden_layers)
-    ]
+    # grouped ConvTranspose layout (in, out/groups, k); depthwise when
+    # upsample_groups == hidden_size (the kyutai default)
+    params["upsample"] = {"w": w(hs, hs // cfg.upsample_groups, 4)}
+    params["dec_tfm"] = [rand_tfm_layer() for _ in range(cfg.num_hidden_layers)]
     scaling = 2 ** len(cfg.upsampling_ratios)
     cur = scaling * nf
     dec: Dict[str, Any] = {"conv_in": {"w": w(cur, hs, cfg.kernel_size), "b": w(cur)}}

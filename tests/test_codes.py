@@ -179,3 +179,16 @@ def test_lone_surrogates_dropped_not_crash(rng):
     dirty = s[:8] + "\ud800" + s[8:]
     out = chars_to_codes(dirty, K, S, return_tensors="np", unicode_offset=UNICODE_OFFSET_LARGE)
     np.testing.assert_array_equal(out, codes)
+
+
+def test_surrogate_offset_boundaries():
+    """[lower, upper) vs the inclusive surrogate block [0xD800, 0xDFFF]:
+    both boundary offsets must be rejected (0xDFFF was admitted by an
+    off-by-one before r2)."""
+    from tokenize_audio_tpu.core.codes import validate_unicode_offset
+
+    for bad in (0xDFFF, 0xD800, 0xD000):  # 0xD000+8*2048 crosses into block
+        with pytest.raises(ValueError, match="surrogate"):
+            validate_unicode_offset(bad, 8, 2048)
+    assert validate_unicode_offset(0xE000, 8, 2048) == 0xE000
+    assert validate_unicode_offset(0xD800 - 8 * 2048, 8, 2048)  # ends at 0xD800

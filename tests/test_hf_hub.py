@@ -56,18 +56,21 @@ def test_upload_and_exists_cache(hub):
     h, fake = hub
     h.upload_file("/tmp/x", "data/a.json")
     assert fake.files == {"data/a.json"}
-    # exists served from cache: no new api call
+    # the first exists() after an upload REALLY asks the hub (post-upload
+    # verification must not be a cached tautology); the result then caches
     n = len(fake.calls)
     assert h.exists("data/a.json") is True
-    assert len(fake.calls) == n
+    assert len(fake.calls) == n + 1
+    assert h.exists("data/a.json") is True
+    assert len(fake.calls) == n + 1
     # negative results ARE cached (monitor startup scans re-query mostly-
     # missing repos; the reference caches both, monitor_progress.py:89-114)
     assert h.exists("data/b.json") is False
     assert h.exists("data/b.json") is False
     assert len([c for c in fake.calls if c == ("exists", "data/b.json")]) == 1
-    # an upload through this store flips the cached negative
+    # an upload through this store invalidates the cached negative
     h.upload_file("/tmp/x", "data/b.json")
-    assert h.exists("data/b.json") is True
+    assert h.exists("data/b.json") is True  # fresh query sees the upload
     # clear_exists_cache() handles external writers
     h.clear_exists_cache()
     n = len(fake.calls)
@@ -106,7 +109,7 @@ def test_batch_commit(hub, monkeypatch):
     h.upload_batch([("/tmp/1", "data/p1"), ("/tmp/2", "data/p2")])
     assert {"data/p1", "data/p2"} <= fake.files
     assert ("commit", 2) in fake.calls
-    assert h.exists("data/p1") is True  # cached by the batch
+    assert h.exists("data/p1") is True  # fresh post-upload verification
 
     assert h.list_files("data/") == sorted(fake.files)
 

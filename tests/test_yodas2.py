@@ -223,3 +223,59 @@ def test_url_source_head_and_stream(tmp_path):
         assert open(txt, "rb").read() == b"{}"
     finally:
         srv.shutdown()
+
+
+def test_partial_save_never_uploaded_as_complete(tmp_path, rng, tiny_oracle):
+    """A crash between incremental saves leaves a .partial file, which the
+    startup scan must NOT upload as a finished sub-shard (r2 review: the
+    old prefix-write passed is_json_complete and permanently lost the
+    tail); the rerun resumes from the partial and produces the full set."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=1, audios_per=2)
+    hub = LocalHub(str(tmp_path / "hub"))
+
+    def make_proc(engine):
+        return Yodas2ShardProcessor(
+            "en000",
+            LocalSource(root),
+            hub,
+            engine,
+            str(tmp_path / "work"),
+            str(tmp_path / "prog"),
+            max_subshards=1,
+            save_every=1,  # save after every entry so a crash leaves a prefix
+        )
+
+    # crash after the first entry is processed (and incrementally saved)
+    engine = make_engine(tiny_oracle)
+    real = engine.encode_batch
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-sub-shard")
+        return real(*a, **k)
+
+    engine.encode_batch = crashing
+    rep = make_proc(engine).process()
+    assert rep["failed"] == 1 and rep["uploaded"] == 0
+    work = tmp_path / "work" / "en000"
+    assert any(f.name.endswith(".out.json.partial") for f in work.iterdir())
+    assert not any(f.name.endswith(".out.json") for f in work.iterdir())
+    assert hub.list_files("data/en000/") == []  # nothing truncated uploaded
+
+    # rerun: completes from the partial without losing entries
+    rep2 = make_proc(make_engine(tiny_oracle)).process()
+    assert rep2["processed"] == 1 and rep2["uploaded"] == 1
+    out = read_json_file(hub, "data/en000/00000000.json")
+    assert len(out) == 2 and all("codes" in e for e in out)
+
+
+def read_json_file(hub, path):
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        local = os.path.join(td, "x.json")
+        hub.download(path, local)
+        return _json.load(open(local))

@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import random
 from typing import Dict, List, Sequence
 
 from tokenize_audio_tpu.analytics.count_rows import RangeReader
+
+logger = logging.getLogger(__name__)
 
 
 class TokenEstimator:
@@ -77,9 +80,15 @@ class TokenEstimator:
                 total_rows += pf.metadata.num_rows
                 if pf.metadata.num_row_groups == 0:
                     continue  # footer-only empty part-file (e.g. Spark)
+                if self.text_field not in pf.schema_arrow.names:
+                    logger.warning(
+                        "%s has no %r column; counted but not sampled", f, self.text_field
+                    )
+                    continue
                 g = rng.randrange(pf.metadata.num_row_groups)
-                col = [self.text_field] if self.text_field in pf.schema_arrow.names else None
-                texts = pf.read_row_group(g, columns=col)[self.text_field].to_pylist()
+                texts = pf.read_row_group(g, columns=[self.text_field])[
+                    self.text_field
+                ].to_pylist()
                 take = texts if len(texts) <= per_file else rng.sample(texts, per_file)
                 sampled_texts += take
             if known is not None and key in known:

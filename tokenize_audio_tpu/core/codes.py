@@ -37,7 +37,8 @@ def validate_unicode_offset(unicode_offset: int, num_codebooks: int, codebook_si
     block [0xD800, 0xDFFF] (reference: pretraining-data/converter.py:68-81)."""
     lower = unicode_offset
     upper = unicode_offset + num_codebooks * codebook_size
-    if lower < _SURROGATE_HI and upper > _SURROGATE_LO:
+    # [lower, upper) intersects the inclusive block [0xD800, 0xDFFF]
+    if lower <= _SURROGATE_HI and upper > _SURROGATE_LO:
         raise ValueError(
             f"Unicode offset {hex(unicode_offset)} with base vocabulary size "
             f"{num_codebooks * codebook_size} intersects the surrogate range "

@@ -23,6 +23,7 @@ import logging
 import os
 from typing import Dict, List, Sequence
 
+from tokenize_audio_tpu.config import SPECIAL_TOKENS
 from tokenize_audio_tpu.datasets.parquet_utils import read_parquet, write_parquet
 from tokenize_audio_tpu.hub import open_hub
 
@@ -36,13 +37,14 @@ SPLITS = ["train", "validation", "test"]
 
 
 def combine_row(row: Dict, lang: str) -> str:
+    t = SPECIAL_TOKENS
     return (
-        "<|begin_of_text|>"
-        f"<|audio_start|>{row['original_audio_str']}<|audio_end|>"
-        f"<|text_start|><language>{lang}</language>{row['original_text']}<|text_end|>"
-        f"<|text_start|><language>en</language>{row['translated_text']}<|text_end|>"
-        f"<|audio_start|>{row['translated_audio_str']}<|audio_end|>"
-        "<|end_of_text|>"
+        f"{t['bos']}"
+        f"{t['audio_start']}{row['original_audio_str']}{t['audio_end']}"
+        f"{t['text_start']}<language>{lang}</language>{row['original_text']}{t['text_end']}"
+        f"{t['text_start']}<language>en</language>{row['translated_text']}{t['text_end']}"
+        f"{t['audio_start']}{row['translated_audio_str']}{t['audio_end']}"
+        f"{t['eos']}"
     )
 
 

@@ -191,6 +191,16 @@ class EmiliaShardProcessor:
             try:
                 with open(jpath) as f:
                     meta = json.load(f)
+                if self.conversational and not str(meta.get("speaker", "")).startswith(
+                    "SPEAKER_"
+                ):
+                    # conversational docs need diarized SPEAKER_xx labels;
+                    # validate BEFORE encoding — a bad value written into
+                    # the persisted cache would make build_rows crash the
+                    # shard on every retry
+                    raise ValueError(
+                        f"missing/invalid speaker label {meta.get('speaker')!r}"
+                    )
                 audio, sr = decode_audio(apath)
                 prepared = self.engine.prepare_audio(audio, sr)
             except (ValueError, OSError, json.JSONDecodeError) as e:
@@ -210,8 +220,21 @@ class EmiliaShardProcessor:
         flush_batch()
         atomic_write_json(self.cache_path, cache)
 
+        usable = cache
+        if self.conversational:
+            # a cache written by an earlier run (or standard-mode pass) may
+            # hold entries without diarized labels; drop them instead of
+            # letting build_rows' strict check crash the shard forever
+            usable = {
+                uid: v
+                for uid, v in cache.items()
+                if str(v.get("speaker", "")).startswith("SPEAKER_")
+            }
+            for uid in cache.keys() - usable.keys():
+                logger.warning("dropping %s: invalid cached speaker label", uid)
+                failed.append(uid)
         rows = build_rows(
-            cache, self.split, self.shard_id, conversational=self.conversational
+            usable, self.split, self.shard_id, conversational=self.conversational
         )
         local_out = os.path.join(self.work_dir, f"{self.shard_id}.parquet")
         write_parquet(rows, local_out)

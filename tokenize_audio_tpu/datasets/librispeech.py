@@ -40,8 +40,19 @@ def build_rows(entries: Sequence[Dict], engine: MimiEncoderEngine) -> List[Dict]
     """Encode a list of manifest entries into _type1/_type2 rows.
 
     Row schema matches process_librispeech_train.py:196-208: per utterance a
-    TTS row (`{id}_type1`) and an ASR row (`{id}_type2`)."""
-    items = [decode_audio(e["audio"]) for e in entries]
+    TTS row (`{id}_type1`) and an ASR row (`{id}_type2`). Corrupt audio
+    files are dropped per item (logged) — one bad flac must not fail the
+    whole chunk on every restart."""
+    good: List[Dict] = []
+    items = []
+    for e in entries:
+        try:
+            items.append(decode_audio(e["audio"]))
+        except (ValueError, OSError) as err:
+            logger.warning("skipping %s (%s): %s", e.get("id"), e.get("audio"), err)
+            continue
+        good.append(e)
+    entries = good
     codes_list = engine.encode_batch_mixed(items)
     rows: List[Dict] = []
     for e, c in zip(entries, codes_list):

@@ -294,8 +294,16 @@ class SubShardProcessor:
         with open(text_json_path) as f:
             metadata = json.load(f)
 
-        # resume: adopt completed entries from a partial output (:549-562)
-        existing = read_json(output_path, [])
+        # resume: adopt completed entries from an earlier output, or from
+        # the mid-run partial file (:549-562). Incremental saves go to the
+        # .partial name so a prefix of entries can NEVER be mistaken for a
+        # finished sub-shard by the startup scan (a crash between saves
+        # would otherwise upload a truncated output and permanently lose
+        # the tail — the final name is written exactly once, when done).
+        partial_path = f"{output_path}.partial"
+        existing = read_json(output_path, None)
+        if existing is None:
+            existing = read_json(partial_path, [])
         # "codes" present counts as processed even when empty (all chunks
         # degenerate) — matches the reference resume set and avoids
         # re-decoding zero-chunk entries forever (process_shard.py:647-655)
@@ -318,9 +326,13 @@ class SubShardProcessor:
             out.append(self.process_entry(e, extract_dir, audio24))
             since_save += 1
             if since_save >= self.save_every:
-                atomic_write_json(output_path, out)
+                atomic_write_json(partial_path, out)
                 since_save = 0
         atomic_write_json(output_path, out)
+        try:
+            os.unlink(partial_path)
+        except FileNotFoundError:
+            pass
         shutil.rmtree(extract_dir, ignore_errors=True)
         os.unlink(tar_path)
         return out
@@ -405,12 +417,23 @@ class Yodas2ShardProcessor:
                 report["skipped"] += 1
                 consecutive_missing = 0
                 continue
-            if self.hub.exists(self._repo_path(sid)):
-                self.progress.mark_completed(sid)
-                report["skipped"] += 1
+            try:
+                if self.hub.exists(self._repo_path(sid)):
+                    self.progress.mark_completed(sid)
+                    report["skipped"] += 1
+                    consecutive_missing = 0
+                    continue
+                available = self.source.available(self.shard_id, sid)
+            except Exception:  # noqa: BLE001 — network checks get the same
+                # per-sub-shard isolation as fetch/process: one transient
+                # outage surviving retries must not abort the shard (and
+                # strand the pending upload batch)
+                logger.exception("availability/exists check failed for %s", sid)
+                self.progress.mark_failed(sid)
+                report["failed"] += 1
                 consecutive_missing = 0
                 continue
-            if not self.source.available(self.shard_id, sid):
+            if not available:
                 report["missing"] += 1
                 consecutive_missing += 1
                 if consecutive_missing >= self.max_consecutive_missing:

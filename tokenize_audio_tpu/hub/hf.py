@@ -106,7 +106,11 @@ class HFHub(ArtifactStore):
             ),
             f"upload_file({repo_path})",
         )
-        self._exists_cache[repo_path] = True
+        # invalidate rather than seed True: post-upload verification
+        # (upload_and_delete, emilia) relies on exists() actually asking
+        # the hub — a cached True would make verification a tautology that
+        # can never catch a dropped upload
+        self._exists_cache.pop(repo_path, None)
 
     def upload_batch(self, items: Sequence[Tuple[str, str]]) -> None:
         from huggingface_hub import CommitOperationAdd
@@ -126,7 +130,7 @@ class HFHub(ArtifactStore):
 
         self._retry(commit, f"create_commit({len(ops)} files)")
         for _, rp in items:
-            self._exists_cache[rp] = True
+            self._exists_cache.pop(rp, None)  # see upload_file
 
     def list_files(self, prefix: str = "") -> List[str]:
         files = self._retry(

@@ -112,7 +112,10 @@ def live_workdir_report(work_dir: str) -> List[Dict]:
             path = os.path.join(dirpath, f)
             data = read_json(path, [])
             entries = data if isinstance(data, list) else []
-            encoded = sum(1 for e in entries if e.get("codes"))
+            # "codes" present-but-empty still counts as processed (all
+            # chunks degenerate) — same done criterion as the pipeline's
+            # is_json_complete / resume set (datasets/yodas2.py)
+            encoded = sum(1 for e in entries if "codes" in e)
             out.append(
                 {
                     "file": os.path.relpath(path, work_dir),

@@ -99,11 +99,16 @@ def run(args) -> int:
     launched = skipped = 0
     procs: Dict[str, subprocess.Popen] = {}
 
+    log_handles = {}
+
     def poll():
         for s, p in list(procs.items()):
             if p.poll() is not None:
                 print(f"[pod-runner] shard {s} exited with {p.returncode}")
                 del procs[s]
+                h = log_handles.pop(s, None)
+                if h is not None:
+                    h.close()  # one fd per launched shard otherwise leaks
                 jobs.pop(s, None)
                 _save_jobs(args.run_dir, jobs)
 
@@ -123,6 +128,7 @@ def run(args) -> int:
         log_path = os.path.join(args.log_dir, f"{shard}.log")
         log_f = open(log_path, "a")
         p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT)
+        log_handles[shard] = log_f
         procs[shard] = p
         jobs[shard] = p.pid
         _save_jobs(args.run_dir, jobs)

@@ -263,26 +263,46 @@ class SubShardProcessor:
     def process_entry(
         self, entry: Dict, extract_dir: str, audio24: Optional[np.ndarray] = None
     ) -> Dict:
-        audio_id = entry["audio_id"]
-        text_dict = entry.get("text", {})
         if audio24 is None:
             audio24 = self._load_entry_audio(entry, extract_dir)
-        if audio24 is None:
-            logger.warning("Audio file not found for %s", audio_id)
-            return entry
-        ids, segments = slice_chunks(audio24, text_dict, self.sample_rate)
-        codes_dict: Dict[str, List[List[int]]] = {}
+        return self.process_entries([(entry, audio24)])[0]
+
+    def process_entries(self, batch: List[Tuple[Dict, Optional[np.ndarray]]]) -> List[Dict]:
+        """Encode a group of entries' chunks in ONE engine call.
+
+        Per-call dispatch overhead dominates on network-attached chips
+        (~200 ms/call through the tunnel), so chunks from ``save_every``
+        entries batch together — the cross-file accumulate-to-batch role
+        of the reference's loop (emilia-mimi/process_shard.py:473-537),
+        here at the sub-shard level. Entries whose audio failed to load
+        are returned without a ``codes`` key (retried on restart)."""
+        results: List[Dict] = []
+        owners: List[Tuple[int, str]] = []
+        segments: List[np.ndarray] = []
+        for entry, audio24 in batch:
+            if audio24 is None:
+                logger.warning("Audio file not found for %s", entry["audio_id"])
+                results.append(entry)
+                continue
+            ids, segs = slice_chunks(audio24, entry.get("text", {}), self.sample_rate)
+            e = dict(entry)
+            e["codes"] = {}
+            results.append(e)
+            for cid, s in zip(ids, segs):
+                owners.append((len(results) - 1, cid))
+                segments.append(s)
         if segments:
             codes_list = self.engine.encode_batch(
                 segments, sr=self.sample_rate
             )  # >cap chunks split+concat inside
-            for cid, codes in zip(ids, codes_list):
-                codes_dict[cid] = codes.astype(np.uint16).tolist()
-        entry = dict(entry)
-        entry["codes"] = codes_dict
-        if not codes_dict:
-            logger.warning("Audio %s has 0 valid chunks after filtering", audio_id)
-        return entry
+            for (ri, cid), codes in zip(owners, codes_list):
+                results[ri]["codes"][cid] = codes.astype(np.uint16).tolist()
+        for e in results:
+            if "codes" in e and not e["codes"]:
+                logger.warning(
+                    "Audio %s has 0 valid chunks after filtering", e["audio_id"]
+                )
+        return results
 
     def process(
         self, tar_path: str, text_json_path: str, output_path: str
@@ -308,26 +328,28 @@ class SubShardProcessor:
         # degenerate) — matches the reference resume set and avoids
         # re-decoding zero-chunk entries forever (process_shard.py:647-655)
         done = {e["audio_id"]: e for e in (existing or []) if "codes" in e}
-        out: List[Dict] = []
-        since_save = 0
+        results_by_id: Dict[str, Dict] = dict(done)
         todo = [e for e in metadata if e["audio_id"] not in done]
-        todo_iter = iter(todo)
         loaded = prefetch_map(
             lambda e: (e, self._load_entry_audio(e, extract_dir)),
-            todo_iter,
+            iter(todo),
             workers=self.num_workers,
         )
-        for entry in metadata:
-            if entry["audio_id"] in done:
-                out.append(done[entry["audio_id"]])
-                continue
-            e, audio24 = next(loaded)
-            assert e["audio_id"] == entry["audio_id"]
-            out.append(self.process_entry(e, extract_dir, audio24))
-            since_save += 1
-            if since_save >= self.save_every:
-                atomic_write_json(partial_path, out)
-                since_save = 0
+        buf: List[Tuple[Dict, Optional[np.ndarray]]] = []
+
+        def flush_group():
+            for r in self.process_entries(buf):
+                results_by_id[r["audio_id"]] = r
+            buf.clear()
+            atomic_write_json(partial_path, list(results_by_id.values()))
+
+        for pair in loaded:
+            buf.append(pair)
+            if len(buf) >= self.save_every:
+                flush_group()
+        if buf:
+            flush_group()
+        out = [results_by_id[e["audio_id"]] for e in metadata]
         atomic_write_json(output_path, out)
         try:
             os.unlink(partial_path)

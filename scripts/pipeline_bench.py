@@ -47,7 +47,7 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
             ).astype(np.float32)
             write_wav(os.path.join(wav_dir, f"{audio_id}.wav"), x, sr)
             total_audio += seconds
-            # ~6 s chunks in centiseconds, lognormal-ish lengths
+            # ~3 s mean chunks in centiseconds, lognormal-ish lengths
             text = {}
             pos = 0
             idx = 0
@@ -84,6 +84,20 @@ def main():
 
     enable_compile_cache()
     tmp = tempfile.mkdtemp(prefix="pipe_bench_")
+    try:
+        _run_bench(args, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_bench(args, tmp):
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+    from tokenize_audio_tpu.hub import LocalHub
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import random_params
+
     mirror = os.path.join(tmp, "mirror")
     print("building synthetic mirror ...")
     total_audio, n_chunks = build_mirror(
@@ -106,11 +120,11 @@ def main():
     )
     hub = LocalHub(os.path.join(tmp, "hub"))
 
-    def run(tag):
+    def run(tag, run_hub):
         proc = Yodas2ShardProcessor(
             "en000",
             LocalSource(mirror),
-            hub,
+            run_hub,
             engine,
             os.path.join(tmp, f"work_{tag}"),
             os.path.join(tmp, f"prog_{tag}"),
@@ -124,27 +138,12 @@ def main():
 
     import jax
 
-    wall1, rep1 = run("warm")  # pass 1: compiles + warms
-    # fresh hub/progress so pass 2 re-processes everything
-    hub2 = LocalHub(os.path.join(tmp, "hub2"))
-
-    proc = Yodas2ShardProcessor(
-        "en000",
-        LocalSource(mirror),
-        hub2,
-        engine,
-        os.path.join(tmp, "work_m"),
-        os.path.join(tmp, "prog_m"),
-        max_subshards=args.subshards,
-        max_consecutive_missing=2,
-        upload_batch_size=2,
-    )
     from tokenize_audio_tpu.engine.metrics import EngineStats
 
+    wall1, _ = run("warm", hub)  # pass 1: compiles + warms
+    # fresh hub/progress so pass 2 re-processes everything
     engine.stats = EngineStats()
-    t0 = time.perf_counter()
-    rep = proc.process()
-    wall = time.perf_counter() - t0
+    wall, rep = run("m", LocalHub(os.path.join(tmp, "hub2")))
 
     assert rep["processed"] == args.subshards, rep
     rt = total_audio / wall
@@ -169,7 +168,6 @@ def main():
             }
         )
     )
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -190,7 +190,9 @@ def test_scan_and_queue_local(tmp_path, rng, tiny_oracle):
     proc.process()
     assert hub.exists("data/en000/00000005.json")
     assert not hub.exists("data/en000/00000006.json")
-    assert not os.path.exists(os.path.join(work, "en000", "00000006.out.json"))
+    # incomplete output stays local: it is the retry's resume set (only the
+    # completeness gate keeps it off the hub)
+    assert os.path.exists(os.path.join(work, "en000", "00000006.out.json"))
 
 
 def test_url_source_head_and_stream(tmp_path):
@@ -279,3 +281,51 @@ def read_json_file(hub, path):
         local = os.path.join(td, "x.json")
         hub.download(path, local)
         return _json.load(open(local))
+
+
+def test_failed_entries_block_upload_then_retry_succeeds(tmp_path, rng, tiny_oracle):
+    """An entry whose audio cannot be decoded leaves the sub-shard output
+    incomplete: it must NOT be uploaded/marked completed (r2 review); the
+    restart retries just the failed entries and then uploads."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=1, audios_per=2)
+    # corrupt one wav INSIDE the tarball
+    import tarfile as _tar
+
+    sdir = os.path.join(root, "en000")
+    tar_path = os.path.join(sdir, "00000000.tar.gz")
+    tmp_ex = tmp_path / "ex"
+    with _tar.open(tar_path) as tf:
+        tf.extractall(tmp_ex, filter="data")
+    wavs = sorted((tmp_ex / "audio").glob("*.wav"))
+    wavs[0].write_bytes(b"RIFFbroken")
+    with _tar.open(tar_path, "w:gz") as tf:
+        tf.add(tmp_ex / "audio", arcname="audio")
+
+    hub = LocalHub(str(tmp_path / "hub"))
+
+    def make_proc():
+        return Yodas2ShardProcessor(
+            "en000",
+            LocalSource(root),
+            hub,
+            make_engine(tiny_oracle),
+            str(tmp_path / "work"),
+            str(tmp_path / "prog"),
+            max_subshards=1,
+            max_consecutive_missing=2,
+        )
+
+    rep = make_proc().process()
+    assert rep["failed"] == 1 and rep["uploaded"] == 0
+    assert hub.list_files("data/en000/") == []
+
+    # repair the corpus (as if the transient read error cleared) and retry
+    build_corpus(str(tmp_path / "mirror2"), rng, subshards=1, audios_per=2)
+    import shutil as _sh
+
+    _sh.copyfile(
+        os.path.join(str(tmp_path / "mirror2"), "en000", "00000000.tar.gz"), tar_path
+    )
+    rep2 = make_proc().process()
+    assert rep2["processed"] == 1 and rep2["uploaded"] == 1
+    assert hub.exists("data/en000/00000000.json")

@@ -260,13 +260,6 @@ class SubShardProcessor:
             logger.exception("Failed to load audio for %s", entry["audio_id"])
             return None
 
-    def process_entry(
-        self, entry: Dict, extract_dir: str, audio24: Optional[np.ndarray] = None
-    ) -> Dict:
-        if audio24 is None:
-            audio24 = self._load_entry_audio(entry, extract_dir)
-        return self.process_entries([(entry, audio24)])[0]
-
     def process_entries(self, batch: List[Tuple[Dict, Optional[np.ndarray]]]) -> List[Dict]:
         """Encode a group of entries' chunks in ONE engine call.
 
@@ -336,16 +329,24 @@ class SubShardProcessor:
             workers=self.num_workers,
         )
         buf: List[Tuple[Dict, Optional[np.ndarray]]] = []
+        buf_samples = 0
+        # cap buffered decoded audio so long entries (hour-scale YouTube
+        # videos) don't multiply host RAM by save_every — ~20 min of f32
+        # 24 kHz audio ≈ 110 MB buffered worst case
+        max_buf_samples = 20 * 60 * self.sample_rate
 
         def flush_group():
+            nonlocal buf_samples
             for r in self.process_entries(buf):
                 results_by_id[r["audio_id"]] = r
             buf.clear()
+            buf_samples = 0
             atomic_write_json(partial_path, list(results_by_id.values()))
 
-        for pair in loaded:
-            buf.append(pair)
-            if len(buf) >= self.save_every:
+        for entry, audio24 in loaded:
+            buf.append((entry, audio24))
+            buf_samples += 0 if audio24 is None else len(audio24)
+            if len(buf) >= self.save_every or buf_samples >= max_buf_samples:
                 flush_group()
         if buf:
             flush_group()
@@ -411,7 +412,9 @@ class Yodas2ShardProcessor:
 
     def scan_and_queue_local(self) -> int:
         """Startup scan: queue complete local outputs that never uploaded
-        (:851-915); delete incomplete ones."""
+        (:851-915). Incomplete ones (failed entries) are LEFT in place —
+        they are the resume set the sub-shard retry reads, and the
+        completeness gate before upload keeps them off the hub."""
         queued = 0
         for f in sorted(os.listdir(self.work_dir)):
             if not f.endswith(".out.json") or ".tmp." in f:
@@ -424,8 +427,6 @@ class Yodas2ShardProcessor:
             if is_json_complete(local):
                 self._pending.append((sid, local, self._repo_path(sid)))
                 queued += 1
-            else:
-                os.unlink(local)
         return queued
 
     def process(self) -> Dict:
@@ -472,6 +473,13 @@ class Yodas2ShardProcessor:
                 out_path = os.path.join(self.work_dir, f"{sid}.out.json")
                 self.sub.process(tar_path, txt_path, out_path)
                 os.unlink(txt_path)
+                if not is_json_complete(out_path):
+                    # entries whose audio failed to load lack a codes field;
+                    # validate-before-upload (process_shard.py:792-824) —
+                    # the output stays local as the resume set and the
+                    # sub-shard retries on restart instead of uploading a
+                    # permanently incomplete JSON marked completed
+                    raise RuntimeError("sub-shard output incomplete (failed entries)")
                 self._pending.append((sid, out_path, self._repo_path(sid)))
                 report["processed"] += 1
                 if len(self._pending) >= self.upload_batch_size:

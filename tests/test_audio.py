@@ -103,6 +103,19 @@ def test_pad_to_bucket(rng):
         pad_to_bucket([np.zeros(301)], 300)
 
 
+def test_pad_to_bucket_int16_fast_path(rng):
+    # all-int16 rows stay int16 (device-side normalization path) ...
+    pcm = [(rng.standard_normal(n) * 8000).astype(np.int16) for n in (100, 250)]
+    batch, lengths = pad_to_bucket(pcm, 300)
+    assert batch.dtype == np.int16
+    np.testing.assert_array_equal(batch[1, :250], pcm[1])
+    np.testing.assert_array_equal(batch[0, 100:], 0)
+    # ... while any float row falls the whole batch back to normalized f32
+    mixed, _ = pad_to_bucket([pcm[0], np.zeros(10, np.float32)], 300)
+    assert mixed.dtype == np.float32
+    np.testing.assert_array_equal(mixed[0, :100], pcm[0].astype(np.float32) / 32768.0)
+
+
 def test_split_long_audio():
     x = np.arange(5000)
     parts = split_long_audio(x, 1920)

@@ -92,6 +92,51 @@ def test_engine_int16_input(tiny_oracle, rng):
     assert (got == ref).all()
 
 
+def test_engine_int16_raw_transfer_matches_float(tiny_oracle, rng):
+    """The int16 fast path (raw PCM shipped to device, normalized on-chip)
+    must be bit-identical to pre-normalized float input — including mixed
+    int16/float batches, which fall back to host normalization."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    lengths = [1000, 5000, 19200, 7777]
+    pcms = [(rng.standard_normal(n) * 8000).astype(np.int16) for n in lengths]
+    floats = [p.astype(np.float32) / 32768.0 for p in pcms]
+    got_i = eng.encode_batch(pcms)
+    got_f = eng.encode_batch(floats)
+    for a, b in zip(got_i, got_f):
+        assert (a == b).all()
+    # mixed batch: int16 and float rows in one call, same codes
+    mixed = [pcms[0], floats[1], pcms[2], floats[3]]
+    got_m = eng.encode_batch(mixed)
+    for a, b in zip(got_m, got_f):
+        assert (a == b).all()
+
+
+def test_engine_int16_streaming_policy(tiny_oracle, rng):
+    """int16 input through long_audio_policy='stream' normalizes before the
+    streaming encoder (push() casts without PCM scaling)."""
+    model, params, cfg = tiny_oracle
+    cap_s = 2.0
+    eng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(
+            batch_size=2,
+            min_bucket_seconds=0.5,
+            max_chunk_seconds=cap_s,
+            long_audio_policy="stream",
+        ),
+    )
+    n = int(24_000 * 3.1)
+    pcm = (rng.standard_normal(n) * 8000).astype(np.int16)
+    got = eng.encode_chunk(pcm)
+    ref = ref_codes(model, pcm.astype(np.float32) / 32768.0)
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
 def test_engine_dp_mesh_equivalence(tiny_oracle, rng):
     """Batch sharded over 8 virtual devices == single-device, bit for bit
     (SURVEY §4 implication (e))."""

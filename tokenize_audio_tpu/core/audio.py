@@ -219,14 +219,21 @@ def pad_to_bucket(
     utterances: Sequence[np.ndarray],
     bucket_len: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Right-zero-pad a list of 1-D float arrays to (B, bucket_len) plus the
+    """Right-zero-pad a list of 1-D arrays to (B, bucket_len) plus the
     per-row valid-sample count. Replaces the HF feature-extractor
     pad-to-longest path (yodas2-mimi/process_shard.py:244-261) with a fixed
-    shape lattice."""
-    batch = np.zeros((len(utterances), bucket_len), dtype=np.float32)
+    shape lattice.
+
+    When every row is int16 PCM the batch stays int16 — the model encode
+    normalizes on device (exact x/32768), halving host->device transfer.
+    Mixed or float rows normalize to float32 on host as before."""
+    raw16 = all(np.asarray(u).dtype == np.int16 for u in utterances)
+    batch = np.zeros(
+        (len(utterances), bucket_len), dtype=np.int16 if raw16 else np.float32
+    )
     lengths = np.zeros((len(utterances),), dtype=np.int32)
     for i, u in enumerate(utterances):
-        u = pcm_to_float(np.asarray(u)).reshape(-1)
+        u = np.asarray(u).reshape(-1) if raw16 else pcm_to_float(np.asarray(u)).reshape(-1)
         if len(u) > bucket_len:
             raise ValueError(f"utterance of {len(u)} samples exceeds bucket {bucket_len}")
         batch[i, : len(u)] = u

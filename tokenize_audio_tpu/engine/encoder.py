@@ -129,7 +129,10 @@ class MimiEncoderEngine:
         # static power-of-two batch size >= n_real (bounded program set per
         # bucket, dp axis divides evenly, minimal padded-row waste)
         bs = self.engine_cfg.batch_size_for_group(bucket, n_real, multiple_of=dp)
-        group += [np.zeros(1, dtype=np.float32)] * (bs - n_real)
+        # pad rows match the group's dtype so an all-int16 group keeps the
+        # narrow-transfer fast path (pad_to_bucket falls back to f32 on mix)
+        pad_dtype = group[0].dtype if group else np.float32
+        group += [np.zeros(1, dtype=pad_dtype)] * (bs - n_real)
         with self.stats.stage("pad"):
             batch, lengths = pad_to_bucket(group, bucket)
         with self.stats.stage("dispatch"):
@@ -169,7 +172,7 @@ class MimiEncoderEngine:
         return out
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        audio = pcm_to_float(np.asarray(audio))
+        audio = np.asarray(audio)
         if audio.ndim == 2:
             # mono mixdown (librosa.load default); the channel axis is the
             # small one — accept (T, C) or (C, T), reject ambiguous shapes
@@ -179,11 +182,18 @@ class MimiEncoderEngine:
                     f"ambiguous multichannel audio shape {audio.shape}; pass "
                     "mono (T,) or channels on the small axis (<= 8)"
                 )
-            audio = audio.mean(axis=ch_axis)
+            audio = pcm_to_float(audio).mean(axis=ch_axis)
         audio = audio.reshape(-1)
         if sr != self.engine_cfg.sample_rate:
+            audio = pcm_to_float(audio)
             with self.stats.stage("resample"):
                 audio = np.asarray(resample(audio, sr, self.engine_cfg.sample_rate))
+        elif audio.dtype != np.int16:
+            # mono int16 PCM at the engine rate ships to the device raw:
+            # pad_to_bucket keeps it int16 and the model normalizes on
+            # device (exact x/32768) — half the host->device bytes on
+            # transport-bound fabrics. Everything else normalizes here.
+            audio = pcm_to_float(audio)
         return audio
 
     # public alias: normalize + resample to the engine sample rate
@@ -286,6 +296,9 @@ class MimiEncoderEngine:
                 num_quantizers=self.num_codebooks,
             )
         enc = self._stream_encoder
+        # the streaming encoder consumes float audio (push() casts without
+        # PCM scaling); normalize any raw-int16 fast-path input here
+        audio = pcm_to_float(audio)
         horizon = int(self.engine_cfg.stream_max_seconds * self.engine_cfg.sample_rate)
         # cut at whole stream chunks: every piece then fits the KV capacity
         # even after encode_stream zero-pads its final chunk (padded frames

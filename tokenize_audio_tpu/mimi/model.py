@@ -382,6 +382,16 @@ def encode(
             "tfm": _cast(params["tfm"]),
             "downsample": _cast(params["downsample"]),
         }
+    if audio.dtype == jnp.int16:
+        # device-side PCM normalization: int16 -> f32 and /32768 are both
+        # exact, so shipping raw 16-bit PCM halves host->device bytes with
+        # bit-identical codes (the host path is pcm_to_float, core/audio.py)
+        audio = audio.astype(jnp.float32) / 32768.0
+    elif jnp.issubdtype(audio.dtype, jnp.integer):
+        raise TypeError(
+            f"integer audio must be int16 PCM (got {audio.dtype}); "
+            "normalize other PCM widths on host via pcm_to_float"
+        )
     x = audio[:, None, :].astype(dt)
     valid_in = valid
     if not masked:

@@ -64,6 +64,17 @@ def test_decode_audio_dispatch_and_mono_mix(rng):
     np.testing.assert_allclose(mono, ref.astype(np.float32), atol=1e-6)
 
 
+def test_raw_int16_mode(rng):
+    x = pcm(rng, 3000)
+    data = encode_flac(x)
+    raw, sr = read_flac(data, raw_int16=True)
+    assert raw.dtype == np.int16
+    np.testing.assert_array_equal(raw.astype(np.int64), x)
+    via_decode, _ = decode_audio(data, raw_int16=True)
+    assert via_decode.dtype == np.int16
+    np.testing.assert_array_equal(via_decode, raw)
+
+
 def test_non_flac_rejected():
     with pytest.raises(ValueError, match="FLAC"):
         read_flac(b"RIFFxxxxWAVE" + b"\x00" * 50)

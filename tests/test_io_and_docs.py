@@ -33,6 +33,32 @@ def test_wav_stereo_and_decode_mono(tmp_path, rng):
     np.testing.assert_allclose(mono, y.mean(axis=1), atol=1e-6)
 
 
+def test_wav_raw_int16(tmp_path, rng):
+    pcm = (rng.standard_normal(2000) * 8000).astype(np.int16)
+    p = str(tmp_path / "raw.wav")
+    write_wav(p, pcm.astype(np.float32) / 32767.0, 24_000)  # writer scales x32767
+    raw, sr = read_wav(p, raw_int16=True)
+    assert raw.dtype == np.int16 and sr == 24_000
+    norm, _ = read_wav(p)
+    np.testing.assert_array_equal(raw.astype(np.float32) / 32768.0, norm)
+    via_decode, _ = decode_audio(p, raw_int16=True)
+    assert via_decode.dtype == np.int16
+    np.testing.assert_array_equal(via_decode, raw)
+
+
+def test_decode_raw_int16_stereo_mixes_normalized(tmp_path, rng):
+    """Stereo + raw_int16: the mono mixdown must come back as normalized
+    float32, never raw-scale floats."""
+    x = (rng.standard_normal((500, 2)) * 0.2).astype(np.float32)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, x, 24_000)
+    mono, _ = decode_audio(p, raw_int16=True)
+    assert mono.dtype == np.float32
+    assert np.abs(mono).max() <= 1.0
+    ref, _ = decode_audio(p)
+    np.testing.assert_array_equal(mono, ref)
+
+
 def test_decode_magic_sniff(tmp_path, rng):
     x = np.zeros(100, dtype=np.float32)
     p = str(tmp_path / "noext")

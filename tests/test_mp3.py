@@ -44,6 +44,10 @@ def test_mono_roundtrip_24k():
     # decoded length = input + codec delay/padding, never less
     assert len(x) <= len(audio) <= len(x) + 4096
     assert aligned_corr(audio, x, sr) > 0.99
+    # raw_int16 is a no-op for mp3 (float synthesis output) — must not error
+    audio_raw, _ = read_mp3(blob, raw_int16=True)
+    assert audio_raw.dtype == np.float32
+    np.testing.assert_array_equal(audio_raw, audio)
 
 
 def test_roundtrip_48k():

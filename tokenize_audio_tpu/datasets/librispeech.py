@@ -47,7 +47,7 @@ def build_rows(entries: Sequence[Dict], engine: MimiEncoderEngine) -> List[Dict]
     items = []
     for e in entries:
         try:
-            items.append(decode_audio(e["audio"]))
+            items.append(decode_audio(e["audio"], raw_int16=True))
         except (ValueError, OSError) as err:
             logger.warning("skipping %s (%s): %s", e.get("id"), e.get("audio"), err)
             continue

@@ -83,9 +83,9 @@ def _decode_embedded_audio(cell) -> Tuple[np.ndarray, int]:
         if cell.get("array") is not None:
             return np.asarray(cell["array"], dtype=np.float32), int(cell["sampling_rate"])
         if cell.get("bytes") is not None:
-            return decode_audio(cell["bytes"])
+            return decode_audio(cell["bytes"], raw_int16=True)
         if cell.get("path"):
-            return decode_audio(cell["path"])
+            return decode_audio(cell["path"], raw_int16=True)
     raise ValueError(f"unsupported audio cell: {type(cell)}")
 
 

@@ -254,7 +254,7 @@ class SubShardProcessor:
         if path is None:
             return None
         try:
-            audio, sr = decode_audio(path)
+            audio, sr = decode_audio(path, raw_int16=True)
             return np.asarray(self.engine.prepare_audio(audio, sr))
         except Exception:  # noqa: BLE001 — per-entry isolation
             logger.exception("Failed to load audio for %s", entry["audio_id"])

@@ -73,7 +73,12 @@ class MimiEncoderEngine:
         mesh=None,
         num_codebooks: Optional[int] = None,
         masked: bool = True,
-        pipeline_depth: int = 2,
+        # in-flight device batches: bounds host+device memory while hiding
+        # per-call sync latency. On the tunneled v5e, interleaved A/B
+        # (scripts/pipeline_depth_probe.py) medians: depth 2 = 364x,
+        # 4 = 422-445x, 8 = 478-485x — deeper wins ~30% end to end on
+        # transport-latency-bound fabrics; 8 batches is still <200 MB.
+        pipeline_depth: int = 8,
     ):
         self.pipeline_depth = pipeline_depth
         self.cfg = cfg or MimiConfig()

@@ -20,12 +20,26 @@ import numpy as np
 
 from tokenize_audio_tpu.io.wav import read_wav
 
-Decoder = Callable[[bytes], Tuple[np.ndarray, int]]
+# decoders take (data, raw_int16=False); decoders for formats without a raw
+# 16-bit representation (e.g. mp3's float synthesis) just ignore the flag.
+# Legacy single-argument decoders are adapted at registration.
+Decoder = Callable[..., Tuple[np.ndarray, int]]
 
 _DECODERS: Dict[str, Decoder] = {}
 
 
 def register_decoder(fmt: str, fn: Decoder) -> None:
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+        accepts_raw = "raw_int16" in params or any(
+            p.kind == p.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):  # builtins/C callables: assume legacy
+        accepts_raw = False
+    if not accepts_raw:
+        fn = lambda data, raw_int16=False, _fn=fn: _fn(data)  # noqa: E731
     _DECODERS[fmt.lower()] = fn
 
 
@@ -40,12 +54,20 @@ def _sniff(data: bytes) -> Optional[str]:
 
 
 def decode_audio(
-    path_or_bytes, format: Optional[str] = None, mono: bool = True
+    path_or_bytes,
+    format: Optional[str] = None,
+    mono: bool = True,
+    raw_int16: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Decode an audio container -> (float32 audio, sample_rate).
 
     ``mono=True`` averages channels (librosa.load default behavior, which
-    the reference relies on for multi-channel corpus files)."""
+    the reference relies on for multi-channel corpus files).
+
+    ``raw_int16=True``: 16-bit mono WAV/FLAC payloads come back as int16
+    PCM (no /32768) — the encode engine normalizes on device, halving
+    host->device transfer with bit-identical codes. Multichannel mixdown
+    and non-16-bit/compressed sources still return normalized float32."""
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         data = bytes(path_or_bytes)
     else:
@@ -55,9 +77,9 @@ def decode_audio(
             data = f.read()
     fmt = (format or _sniff(data) or "").lower()
     if fmt == "wav":
-        audio, sr = read_wav(data)
+        audio, sr = read_wav(data, raw_int16=raw_int16)
     elif fmt in _DECODERS:
-        audio, sr = _DECODERS[fmt](data)
+        audio, sr = _DECODERS[fmt](data, raw_int16=raw_int16)
     else:
         raise ValueError(
             f"no decoder for format {fmt!r}; built-in: wav"
@@ -65,7 +87,15 @@ def decode_audio(
             "Register one with tokenize_audio_tpu.io.register_decoder."
         )
     if mono and audio.ndim == 2:
+        # mixdown must happen in normalized float (an int16 mean would keep
+        # raw PCM scale in a float array, which nothing downstream detects)
+        if audio.dtype != np.float32:
+            from tokenize_audio_tpu.core.audio import pcm_to_float
+
+            audio = pcm_to_float(audio)
         audio = audio.mean(axis=1)
+    if audio.dtype == np.int16:
+        return audio, sr
     return audio.astype(np.float32), sr
 
 
@@ -73,7 +103,7 @@ def _try_register_native_flac() -> None:
     try:
         from tokenize_audio_tpu.io.flac import read_flac
 
-        register_decoder("flac", lambda data: read_flac(data))
+        register_decoder("flac", read_flac)
     except Exception:  # noqa: BLE001 — native lib absent; flac stays unregistered
         pass
 

@@ -64,8 +64,12 @@ def _load():
         return lib
 
 
-def read_flac(data: bytes) -> Tuple[np.ndarray, int]:
-    """Decode FLAC bytes -> (float32 audio in [-1, 1), (T,) or (T, C), sr)."""
+def read_flac(data: bytes, raw_int16: bool = False) -> Tuple[np.ndarray, int]:
+    """Decode FLAC bytes -> (float32 audio in [-1, 1), (T,) or (T, C), sr).
+
+    ``raw_int16=True`` returns 16-bit streams (the common corpus depth) as
+    int16 PCM without normalization — the encode engine normalizes on
+    device (exact /32768). Other bit depths still return float32."""
     lib = _load()
     sr = ctypes.c_int32()
     ch = ctypes.c_int32()
@@ -87,8 +91,11 @@ def read_flac(data: bytes) -> Tuple[np.ndarray, int]:
     if written < 0:
         raise ValueError(f"FLAC decode failed (code {written})")
     pcm = out[: written * channels]
-    scale = float(1 << (int(bits.value) - 1))
-    audio = pcm.astype(np.float32) / scale
+    if raw_int16 and int(bits.value) == 16:
+        audio = pcm.astype(np.int16)
+    else:
+        scale = float(1 << (int(bits.value) - 1))
+        audio = pcm.astype(np.float32) / scale
     if channels > 1:
         audio = audio.reshape(-1, channels)
     return audio, int(sr.value)

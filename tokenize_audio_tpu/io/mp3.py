@@ -83,7 +83,10 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
-def read_mp3(data: bytes) -> Tuple[np.ndarray, int]:
+def read_mp3(data: bytes, raw_int16: bool = False) -> Tuple[np.ndarray, int]:
+    # raw_int16 is accepted for registry-signature uniformity and ignored:
+    # mpg123 synthesizes float32 directly; a 16-bit round trip would LOSE
+    # information rather than save transfer.
     """Decode mp3 bytes -> (float32 audio (T,) or (T, C), sample_rate).
 
     Raises ValueError on streams that yield no decodable frames; a

@@ -19,9 +19,14 @@ _FMT_FLOAT = 3
 _FMT_EXTENSIBLE = 0xFFFE
 
 
-def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
+def read_wav(path_or_bytes, raw_int16: bool = False) -> Tuple[np.ndarray, int]:
     """Read a WAV file (path, file object, or bytes) -> (float32 mono-or-
-    multichannel array in [-1, 1] of shape (T,) or (T, C), sample_rate)."""
+    multichannel array in [-1, 1] of shape (T,) or (T, C), sample_rate).
+
+    ``raw_int16=True`` returns 16-bit PCM payloads as int16 without the
+    /32768 normalization (the encode engine defers that to the device,
+    halving host RAM and host->device bytes — same values, bit-exact).
+    Other sample formats still return normalized float32."""
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         data = bytes(path_or_bytes)
     elif hasattr(path_or_bytes, "read"):
@@ -64,7 +69,9 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
 
     if audio_format == _FMT_PCM:
         if bits == 16:
-            x = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(payload, dtype="<i2")
+            if not raw_int16:
+                x = x.astype(np.float32) / 32768.0
         elif bits == 32:
             x = np.frombuffer(payload, dtype="<i4").astype(np.float32) / 2147483648.0
         elif bits == 8:

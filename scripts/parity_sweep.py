@@ -26,6 +26,12 @@ def main():
         "attention-mask bugs visible at production scale (the default "
         "LayerScale 0.01 oracle hides them below the RVQ argmin threshold)",
     )
+    ap.add_argument(
+        "--int16",
+        action="store_true",
+        help="feed the engine raw int16 PCM (device-side normalization "
+        "path) while torch gets the equivalent floats",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "tests")
@@ -58,7 +64,14 @@ def main():
     audios = [
         (rng.standard_normal(int(s * 24_000)) * 0.3).astype(np.float32) for s in lengths
     ]
-    got = engine.encode_batch(audios)
+    if args.int16:
+        # production wire format: engine gets raw int16 (normalized
+        # on-device), torch gets the equivalent floats — must still match
+        inputs = [(a * 32767).astype(np.int16) for a in audios]
+        audios = [p.astype(np.float32) / 32768.0 for p in inputs]
+    else:
+        inputs = audios
+    got = engine.encode_batch(inputs)
 
     total_frames = exact_frames = 0
     exact_utts = 0

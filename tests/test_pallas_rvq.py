@@ -38,16 +38,22 @@ def test_full_encode_with_pallas_backend(rng):
     assert (np.asarray(got)[0] == ref).all()
 
 
-def test_argmin_tie_breaking_matches(rng):
+def test_argmin_tie_breaking_matches():
     """Exact distance ties (duplicated codebook rows) must resolve to the
     same (first) index in both backends — and in torch."""
     import torch
 
+    # local fixed rng: the session rng's stream position depends on which
+    # tests ran before, and the `3 in got_xla` assertion below needs a
+    # draw where the duplicated row actually wins somewhere — pin it
+    rng = np.random.default_rng(123)
     n, d, v = 64, 8, 16
-    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    xs = rng.standard_normal((n, d)).astype(np.float32)
     e = rng.standard_normal((v, d)).astype(np.float32)
     e[7] = e[3]  # duplicate row -> guaranteed ties
     e[12] = e[3]
+    xs[0] = e[3]  # exact hit -> index 3 MUST be selected (and win the tie)
+    x = jnp.asarray(xs)
     embeds = jnp.asarray(e[None])
     got_xla = np.asarray(rvq_quantize(x[None], embeds))[0].T
     got_pl = np.asarray(rvq_quantize_pallas(x, embeds, interpret=True))

@@ -164,6 +164,64 @@ def test_shard_processor_full_run_and_resume(tmp_path, rng, tiny_oracle):
     assert rep2["processed"] == 0 and rep2["skipped"] == 3
 
 
+def test_fetch_ahead_matches_serial(tmp_path, rng, tiny_oracle):
+    """The fetch/extract look-ahead thread must produce the exact same hub
+    contents, report, and progress as the serial (fetch_ahead=0) path."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=3)
+    reports, contents = [], []
+    for ahead in (0, 2):
+        hub = LocalHub(str(tmp_path / f"hub{ahead}"))
+        proc = Yodas2ShardProcessor(
+            "en000",
+            LocalSource(root),
+            hub,
+            make_engine(tiny_oracle),
+            str(tmp_path / f"work{ahead}"),
+            str(tmp_path / f"prog{ahead}"),
+            max_subshards=20,
+            max_consecutive_missing=5,
+            fetch_ahead=ahead,
+        )
+        reports.append(proc.process())
+        contents.append(
+            {f: hub.read_range(f, 0, hub.size(f)) for f in hub.list_files("data/en000/")}
+        )
+    assert reports[0] == reports[1]
+    assert contents[0] == contents[1]
+
+
+def test_fetch_ahead_failure_isolated(tmp_path, rng, tiny_oracle):
+    """A fetch/extract failure in the look-ahead thread marks only that
+    sub-shard failed; the rest of the shard still processes."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=3)
+
+    class FlakySource(LocalSource):
+        def fetch(self, shard_id, sid, dest):
+            if sid == "00000001":
+                raise OSError("simulated download failure")
+            return super().fetch(shard_id, sid, dest)
+
+    hub = LocalHub(str(tmp_path / "hub"))
+    proc = Yodas2ShardProcessor(
+        "en000",
+        FlakySource(root),
+        hub,
+        make_engine(tiny_oracle),
+        str(tmp_path / "work"),
+        str(tmp_path / "prog"),
+        max_subshards=20,
+        max_consecutive_missing=5,
+        fetch_ahead=1,
+    )
+    rep = proc.process()
+    assert rep["processed"] == 2 and rep["failed"] == 1
+    assert hub.list_files("data/en000/") == [
+        "data/en000/00000000.json",
+        "data/en000/00000002.json",
+    ]
+    assert list(proc.progress.failed) == ["00000001"]
+
+
 def test_scan_and_queue_local(tmp_path, rng, tiny_oracle):
     """A complete local output left by a crash is uploaded without re-encode
     (process_shard.py:851-915)."""

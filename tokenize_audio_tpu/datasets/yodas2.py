@@ -25,7 +25,7 @@ import logging
 import os
 import shutil
 import tarfile
-from typing import Dict, List, Optional, Protocol, Tuple
+from typing import Dict, Iterator, List, Optional, Protocol, Tuple
 
 import numpy as np
 
@@ -221,6 +221,17 @@ class SubShardProcessor:
         self.num_workers = num_workers  # decode prefetch threads (reference
         # ThreadPoolExecutor role, process_shard.py:690-717)
 
+    def _extract_dir_for(self, tar_path: str) -> str:
+        return os.path.join(
+            self.work_dir, os.path.basename(tar_path).split(".")[0] + "_extracted"
+        )
+
+    def prepare(self, tar_path: str) -> None:
+        """Extraction only (marker-idempotent) — callable from a look-ahead
+        thread so the next sub-shard's tar is already extracted when
+        ``process`` reaches it."""
+        self._extract(tar_path, self._extract_dir_for(tar_path))
+
     def _extract(self, tar_path: str, extract_dir: str) -> None:
         marker = os.path.join(extract_dir, ".extraction_complete")
         if os.path.exists(marker):
@@ -300,9 +311,7 @@ class SubShardProcessor:
     def process(
         self, tar_path: str, text_json_path: str, output_path: str
     ) -> List[Dict]:
-        extract_dir = os.path.join(
-            self.work_dir, os.path.basename(tar_path).split(".")[0] + "_extracted"
-        )
+        extract_dir = self._extract_dir_for(tar_path)
         self._extract(tar_path, extract_dir)
         with open(text_json_path) as f:
             metadata = json.load(f)
@@ -379,6 +388,10 @@ class Yodas2ShardProcessor:
         upload_batch_size: int = 10,
         save_every: int = 10,
         output_prefix: str = "data",
+        # sub-shards to fetch+extract ahead of processing (worker thread):
+        # each look-ahead unit holds one extra tar + extraction on disk.
+        # 0 = fully serial (reference behavior).
+        fetch_ahead: int = 1,
     ):
         self.shard_id = shard_id
         self.source = source
@@ -391,6 +404,7 @@ class Yodas2ShardProcessor:
         self.max_consecutive_missing = max_consecutive_missing
         self.upload_batch_size = upload_batch_size
         self.output_prefix = output_prefix
+        self.fetch_ahead = fetch_ahead
         self._pending: List[Tuple[str, str, str]] = []  # (sid, local, repo)
 
     def _repo_path(self, subshard_id: str) -> str:
@@ -429,9 +443,14 @@ class Yodas2ShardProcessor:
                 queued += 1
         return queued
 
-    def process(self) -> Dict:
-        report = {"processed": 0, "skipped": 0, "missing": 0, "failed": 0, "uploaded": 0}
-        report["uploaded"] += 0 if not self.scan_and_queue_local() else self._flush()
+    def _plan(self, report: Dict) -> Iterator[str]:
+        """Enumerate sub-shard ids that need fetching, applying the
+        skip/adopt/missing bookkeeping as it advances. Runs on the MAIN
+        thread — ``prefetch_map`` pulls its item iterator inline — just up
+        to ``fetch_ahead`` decisions ahead of processing, so all progress
+        mutations stay single-threaded. Look-ahead is safe: decisions
+        depend only on startup progress state and the remote, never on the
+        processing results of earlier sub-shards."""
         consecutive_missing = 0
         retry = set(self.progress.failed)
         for i in range(self.max_subshards):
@@ -465,11 +484,43 @@ class Yodas2ShardProcessor:
                         "(sparse tail, process_shard.py:1060-1069)",
                         consecutive_missing,
                     )
-                    break
+                    return
                 continue
             consecutive_missing = 0
+            yield sid
+
+    def _fetch_prepared(self, sid: str):
+        """Fetch + extract one sub-shard; runs in the look-ahead worker
+        thread so the next sub-shard's download and tar/gzip extraction
+        overlap the current one's encode (the reference serializes these,
+        idling its GPU between sub-shards). The extraction marker makes
+        the in-process ``_extract`` a no-op afterwards. Returns
+        (sid, (tar, txt) | None, error | None) — exceptions stay isolated
+        per sub-shard."""
+        try:
+            tar_path, txt_path = self.source.fetch(self.shard_id, sid, self.work_dir)
+            self.sub.prepare(tar_path)
+            return sid, (tar_path, txt_path), None
+        except Exception as e:  # noqa: BLE001 — surfaced to the main loop
+            logger.exception("sub-shard %s fetch/extract failed", sid)
+            return sid, None, e
+
+    def process(self) -> Dict:
+        report = {"processed": 0, "skipped": 0, "missing": 0, "failed": 0, "uploaded": 0}
+        report["uploaded"] += 0 if not self.scan_and_queue_local() else self._flush()
+        fetched = prefetch_map(
+            self._fetch_prepared,
+            self._plan(report),
+            workers=1 if self.fetch_ahead > 0 else 0,
+            depth=max(1, self.fetch_ahead),
+        )
+        for sid, paths, err in fetched:
+            if err is not None:
+                self.progress.mark_failed(sid)
+                report["failed"] += 1
+                continue
+            tar_path, txt_path = paths
             try:
-                tar_path, txt_path = self.source.fetch(self.shard_id, sid, self.work_dir)
                 out_path = os.path.join(self.work_dir, f"{sid}.out.json")
                 self.sub.process(tar_path, txt_path, out_path)
                 os.unlink(txt_path)
@@ -506,6 +557,13 @@ def main(argv=None):
     ap.add_argument("--progress-dir", required=True)
     ap.add_argument("--max-subshards", type=int, default=1000)
     ap.add_argument("--upload-batch-size", type=int, default=10)
+    ap.add_argument(
+        "--fetch-ahead",
+        type=int,
+        default=1,
+        help="sub-shards to download+extract ahead of processing "
+        "(each holds one extra tar+extraction on disk; 0 = serial)",
+    )
     from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
 
     add_engine_args(ap)
@@ -530,6 +588,7 @@ def main(argv=None):
         args.progress_dir,
         max_subshards=args.max_subshards,
         upload_batch_size=args.upload_batch_size,
+        fetch_ahead=args.fetch_ahead,
     )
     print(json.dumps(proc.process()))
 

@@ -35,6 +35,7 @@ from tokenize_audio_tpu.datasets.parquet_utils import write_parquet
 from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.hub import open_hub
 from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.io.prefetch import prefetch_map
 from tokenize_audio_tpu.runner import atomic_write_json, read_json
 
 logger = logging.getLogger(__name__)
@@ -109,6 +110,9 @@ class EmiliaShardProcessor:
         work_dir: str,
         cache_interval: int = 50,
         conversational: bool = False,
+        # mp3 decode threads: one core decodes ~2400x real time, about the
+        # chip's encode rate, so serial decode would halve shard throughput
+        num_workers: int = 2,
     ):
         self.split, self.lang, self.shard_id = split, lang, shard_id
         self.source_hub, self.target_hub = source_hub, target_hub
@@ -117,6 +121,7 @@ class EmiliaShardProcessor:
         os.makedirs(self.work_dir, exist_ok=True)
         self.cache_interval = cache_interval
         self.conversational = conversational
+        self.num_workers = num_workers
         self.cache_path = os.path.join(self.work_dir, "audio_str_cache.json")
 
     @property
@@ -186,8 +191,11 @@ class EmiliaShardProcessor:
                 }
             batch.clear()
 
-        failed: List[str] = []
-        for uid, apath, jpath in todo:
+        def load_one(item):
+            """Worker-thread decode+prepare (overlaps the engine's encode on
+            the main thread — the decode-prefetch role of the reference's
+            ThreadPoolExecutor, yodas2 pattern)."""
+            uid, apath, jpath = item
             try:
                 with open(jpath) as f:
                     meta = json.load(f)
@@ -202,12 +210,19 @@ class EmiliaShardProcessor:
                         f"missing/invalid speaker label {meta.get('speaker')!r}"
                     )
                 audio, sr = decode_audio(apath)
-                prepared = self.engine.prepare_audio(audio, sr)
+                return uid, self.engine.prepare_audio(audio, sr), meta, None
             except (ValueError, OSError, json.JSONDecodeError) as e:
+                return uid, None, None, e
+
+        failed: List[str] = []
+        for uid, prepared, meta, err in prefetch_map(
+            load_one, iter(todo), workers=self.num_workers
+        ):
+            if err is not None:
                 # corrupt/malformed member: skip the utterance, keep the
                 # shard — the reference's per-item isolation (its
                 # librosa.load failures drop the file, not the shard)
-                logger.warning("skipping %s: %s", uid, e)
+                logger.warning("skipping %s: %s", uid, err)
                 failed.append(uid)
                 continue
             batch.append((uid, prepared, meta))

@@ -32,6 +32,7 @@ from tokenize_audio_tpu.datasets.parquet_utils import read_parquet, write_parque
 from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.hub import open_hub
 from tokenize_audio_tpu.io import decode_audio
+from tokenize_audio_tpu.io.prefetch import prefetch_map
 from tokenize_audio_tpu.runner import ShardProgress
 
 logger = logging.getLogger(__name__)
@@ -94,16 +95,30 @@ def encode_samples(
 ) -> List[Dict]:
     """Decode+encode every row -> samples with ``audio_str`` + metadata.
     Per-batch failures skip the batch, like the reference's per-batch
-    exception skip (process_common_voice.py:217-221)."""
+    exception skip (process_common_voice.py:217-221). The next batch's
+    decode runs in a worker thread while the current one encodes (mp3
+    decode is ~chip-encode speed per core — serial would halve throughput)."""
     samples: List[Dict] = []
     bs = engine.engine_cfg.batch_size
-    for start in range(0, len(rows), bs):
-        chunk = rows[start : start + bs]
+    chunks = [rows[s : s + bs] for s in range(0, len(rows), bs)]
+
+    def load_chunk(chunk):
         try:
             audios = []
             for r in chunk:
                 audio, sr = _decode_embedded_audio(r[spec.audio_field])
                 audios.append(engine.prepare_audio(audio, sr))
+            return chunk, audios, None
+        except Exception as e:  # noqa: BLE001 — surfaced to the main loop
+            return chunk, None, e
+
+    for ci, (chunk, audios, err) in enumerate(
+        prefetch_map(load_chunk, iter(chunks), workers=1, depth=2)
+    ):
+        start = ci * bs
+        try:
+            if err is not None:
+                raise err
             codes = engine.encode_batch(audios)
         except Exception:  # noqa: BLE001 — skip bad batch, keep the shard alive
             logger.exception("skipping batch %d-%d", start, start + len(chunk))

@@ -44,6 +44,24 @@ def test_atomic_write_and_torn_read(tmp_path):
     assert read_json(p, default={}) == {}
 
 
+def test_append_jsonl_and_torn_tail(tmp_path):
+    from tokenize_audio_tpu.runner import append_jsonl, read_jsonl
+
+    p = str(tmp_path / "x.jsonl")
+    assert read_jsonl(p) is None  # missing -> default
+    append_jsonl(p, [{"id": 1}, {"id": 2}])
+    append_jsonl(p, [])  # no-op
+    append_jsonl(p, [{"id": 3}])
+    assert read_jsonl(p) == [{"id": 1}, {"id": 2}, {"id": 3}]
+    with open(p, "a") as f:
+        f.write('{"id": 4')  # crash mid-append: torn LAST line
+    assert read_jsonl(p) == [{"id": 1}, {"id": 2}, {"id": 3}]
+    # appending after a torn tail heals it: the fragment is terminated
+    # into its own (dropped) line, and the new records survive intact
+    append_jsonl(p, [{"id": 5}])
+    assert read_jsonl(p) == [{"id": 1}, {"id": 2}, {"id": 3}, {"id": 5}]
+
+
 def test_progress_ledger(tmp_path):
     prog = ShardProgress(str(tmp_path), "en001")
     prog.mark_failed("u1")

@@ -190,6 +190,47 @@ def test_fetch_ahead_matches_serial(tmp_path, rng, tiny_oracle):
     assert contents[0] == contents[1]
 
 
+def test_fetch_ahead_actually_overlaps(tmp_path, rng, tiny_oracle):
+    """At fetch_ahead=1 the NEXT sub-shard's fetch must start while the
+    current one is still processing (depth must be fetch_ahead+1 —
+    prefetch_map keeps one queue slot occupied by the item being handed
+    to the consumer, so depth=1 would serialize completely)."""
+    import threading
+
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=2)
+    fetch_started: dict = {}
+
+    class LogSource(LocalSource):
+        def fetch(self, shard_id, sid, dest):
+            fetch_started.setdefault(sid, threading.Event()).set()
+            return super().fetch(shard_id, sid, dest)
+
+    proc = Yodas2ShardProcessor(
+        "en000",
+        LogSource(root),
+        LocalHub(str(tmp_path / "hub")),
+        make_engine(tiny_oracle),
+        str(tmp_path / "work"),
+        str(tmp_path / "prog"),
+        max_subshards=10,
+        max_consecutive_missing=5,
+        fetch_ahead=1,
+    )
+    orig_process = proc.sub.process
+    overlap_seen = []
+
+    def wrapped(tar_path, txt_path, out_path):
+        if "00000000" in os.path.basename(tar_path):
+            ev = fetch_started.setdefault("00000001", threading.Event())
+            overlap_seen.append(ev.wait(timeout=30))
+        return orig_process(tar_path, txt_path, out_path)
+
+    proc.sub.process = wrapped
+    rep = proc.process()
+    assert rep["processed"] == 2
+    assert overlap_seen == [True], "fetch of sub-shard 1 never overlapped processing of 0"
+
+
 def test_fetch_ahead_failure_isolated(tmp_path, rng, tiny_oracle):
     """A fetch/extract failure in the look-ahead thread marks only that
     sub-shard failed; the rest of the shard still processes."""

@@ -36,7 +36,7 @@ from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.hub import open_hub
 from tokenize_audio_tpu.io import decode_audio
 from tokenize_audio_tpu.io.prefetch import prefetch_map
-from tokenize_audio_tpu.runner import atomic_write_json, read_json
+from tokenize_audio_tpu.runner import append_jsonl, read_json, read_jsonl
 
 logger = logging.getLogger(__name__)
 
@@ -108,6 +108,8 @@ class EmiliaShardProcessor:
         target_hub,
         engine: MimiEncoderEngine,
         work_dir: str,
+        # retained for CLI compatibility; the append-only JSONL cache
+        # persists every encoded batch, so no periodic rewrite happens
         cache_interval: int = 50,
         conversational: bool = False,
         # mp3 decode threads: one core decodes ~2400x real time, about the
@@ -165,30 +167,58 @@ class EmiliaShardProcessor:
                             break
         return sorted(pairs)
 
+    def _load_cache(self) -> Dict[str, Dict]:
+        """Load the audio_str resume cache. Current format is JSONL (one
+        {"uid", ...} record per line, last occurrence wins); a cache
+        written by an older full-JSON-dict version is migrated in place."""
+        rows = read_jsonl(self.cache_path, []) or []
+        cache = {
+            r["uid"]: {k: v for k, v in r.items() if k != "uid"}
+            for r in rows
+            if isinstance(r, dict) and "uid" in r
+        }
+        if cache:
+            return cache
+        legacy = read_json(self.cache_path, {}) or {}
+        if isinstance(legacy, dict) and legacy:
+            append_jsonl(
+                f"{self.cache_path}.migrated", [{"uid": u, **v} for u, v in legacy.items()]
+            )
+            os.replace(f"{self.cache_path}.migrated", self.cache_path)
+            return legacy
+        return {}
+
     def process(self) -> Dict:
         if self.is_already_processed():
             return {"shard": self.shard_id, "status": "skipped"}
         extract_dir = self._extract()
         pairs = self._collect_pairs(extract_dir)
-        cache: Dict[str, Dict] = read_json(self.cache_path, {}) or {}
+        cache: Dict[str, Dict] = self._load_cache()
 
         todo = [p for p in pairs if p[0] not in cache]
         batch: List[Tuple[str, np.ndarray, Dict]] = []
-        since_cache = 0
 
         def flush_batch():
-            nonlocal since_cache
+            # the audio_str cache is APPEND-ONLY JSONL: every encoded batch
+            # persists immediately at O(new) cost, where the reference's
+            # periodic full-cache rewrite (process_shard.py:231-268) is
+            # O(total) per save — and loses up to cache_interval entries on
+            # a crash; here at most one batch re-encodes
             if not batch:
                 return
             codes = self.engine.encode_batch([a for _, a, _ in batch])
+            records = []
             for (uid, _, meta), c in zip(batch, codes):
-                cache[uid] = {
+                entry = {
                     "audio_str": codes_to_chars(
                         c[:8], CODEBOOK_SIZE, unicode_offset=UNICODE_OFFSET_LARGE
                     ),
                     "transcript": meta.get("text", ""),
                     "speaker": meta.get("speaker", ""),
                 }
+                cache[uid] = entry
+                records.append({"uid": uid, **entry})
+            append_jsonl(self.cache_path, records)
             batch.clear()
 
         def load_one(item):
@@ -209,7 +239,9 @@ class EmiliaShardProcessor:
                     raise ValueError(
                         f"missing/invalid speaker label {meta.get('speaker')!r}"
                     )
-                audio, sr = decode_audio(apath)
+                # raw_int16 matters for the .wav/.flac members
+                # _collect_pairs also accepts; mp3 ignores it by design
+                audio, sr = decode_audio(apath, raw_int16=True)
                 return uid, self.engine.prepare_audio(audio, sr), meta, None
             except (ValueError, OSError, json.JSONDecodeError) as e:
                 return uid, None, None, e
@@ -228,12 +260,7 @@ class EmiliaShardProcessor:
             batch.append((uid, prepared, meta))
             if len(batch) >= self.engine.engine_cfg.batch_size:
                 flush_batch()
-            since_cache += 1
-            if since_cache >= self.cache_interval:
-                atomic_write_json(self.cache_path, cache)
-                since_cache = 0
         flush_batch()
-        atomic_write_json(self.cache_path, cache)
 
         usable = cache
         if self.conversational:

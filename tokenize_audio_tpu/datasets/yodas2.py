@@ -33,7 +33,13 @@ from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.hub import open_hub
 from tokenize_audio_tpu.io import decode_audio
 from tokenize_audio_tpu.io.prefetch import prefetch_map
-from tokenize_audio_tpu.runner import ShardProgress, atomic_write_json, read_json
+from tokenize_audio_tpu.runner import (
+    ShardProgress,
+    append_jsonl,
+    atomic_write_json,
+    read_json,
+    read_jsonl,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -322,10 +328,16 @@ class SubShardProcessor:
         # finished sub-shard by the startup scan (a crash between saves
         # would otherwise upload a truncated output and permanently lose
         # the tail — the final name is written exactly once, when done).
+        # The partial is APPEND-ONLY JSONL: rewriting the accumulated list
+        # every save (the reference's save_incremental_output, :564-569) is
+        # O(n^2) serialization — multi-GB of JSON churn on a 500-file
+        # sub-shard; appending just the new group's entries is O(n). A
+        # crash mid-append leaves at most one malformed last line, which
+        # the reader drops (that group re-encodes on resume).
         partial_path = f"{output_path}.partial"
         existing = read_json(output_path, None)
         if existing is None:
-            existing = read_json(partial_path, [])
+            existing = read_jsonl(partial_path)
         # "codes" present counts as processed even when empty (all chunks
         # degenerate) — matches the reference resume set and avoids
         # re-decoding zero-chunk entries forever (process_shard.py:647-655)
@@ -346,11 +358,12 @@ class SubShardProcessor:
 
         def flush_group():
             nonlocal buf_samples
-            for r in self.process_entries(buf):
+            group = self.process_entries(buf)
+            for r in group:
                 results_by_id[r["audio_id"]] = r
             buf.clear()
             buf_samples = 0
-            atomic_write_json(partial_path, list(results_by_id.values()))
+            append_jsonl(partial_path, group)
 
         for entry, audio24 in loaded:
             buf.append((entry, audio24))
@@ -508,11 +521,14 @@ class Yodas2ShardProcessor:
     def process(self) -> Dict:
         report = {"processed": 0, "skipped": 0, "missing": 0, "failed": 0, "uploaded": 0}
         report["uploaded"] += 0 if not self.scan_and_queue_local() else self._flush()
+        # depth = fetch_ahead + 1: prefetch_map only refills its future
+        # queue when the consumer pulls, so one slot is always occupied by
+        # the item being handed over — depth 1 would serialize completely
         fetched = prefetch_map(
             self._fetch_prepared,
             self._plan(report),
             workers=1 if self.fetch_ahead > 0 else 0,
-            depth=max(1, self.fetch_ahead),
+            depth=self.fetch_ahead + 1,
         )
         for sid, paths, err in fetched:
             if err is not None:

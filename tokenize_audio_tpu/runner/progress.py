@@ -34,6 +34,50 @@ def read_json(path: str, default: Any = None) -> Any:
         return default
 
 
+def append_jsonl(path: str, records: List[Any]) -> None:
+    """Append records as JSON lines, fsync'd. O(new) per save where the
+    rewrite-everything pattern is O(total) — the incremental-checkpoint
+    primitive for large accumulating outputs. A crash mid-append leaves at
+    most one torn LAST line, which read_jsonl drops."""
+    if not records:
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "ab") as f:
+        if f.tell() > 0:
+            # heal a torn tail from a crash mid-append: terminate it so the
+            # fragment becomes its own (dropped) line instead of merging
+            # with — and corrupting — the first record appended now
+            with open(path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                ends_nl = rf.read(1) == b"\n"
+            if not ends_nl:
+                f.write(b"\n")
+        for r in records:
+            f.write(json.dumps(r).encode())
+            f.write(b"\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def read_jsonl(path: str, default: Any = None) -> Any:
+    """Read a JSONL file written by append_jsonl; malformed lines (a torn
+    tail from a crash mid-append) are dropped rather than fatal."""
+    try:
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn line: that record re-processes on resume
+        return out
+    except FileNotFoundError:
+        return default
+
+
 class ShardProgress:
     """Per-shard progress ledger: completed / failed work-unit ids."""
 

@@ -116,6 +116,33 @@ def test_pad_to_bucket_int16_fast_path(rng):
     np.testing.assert_array_equal(mixed[0, :100], pcm[0].astype(np.float32) / 32768.0)
 
 
+def test_resample_many_matches_per_row(rng):
+    """Grouped batch resample must be bit-identical to per-row resample —
+    across mixed lengths (different padded buckets), int16/float inputs,
+    and both rational ratios."""
+    from tokenize_audio_tpu.core.audio import resample_many
+
+    for orig_sr in (16_000, 48_000):
+        lengths = [500, 1000, 3000, 3001, 9000, 40_000]
+        floats = [
+            (rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths
+        ]
+        ints = [(a * 32767).astype(np.int16) for a in floats]
+        normed = [p.astype(np.float32) / 32768.0 for p in ints]
+        got = resample_many(ints, orig_sr, 24_000, max_rows=3)
+        for a, g in zip(normed, got):
+            ref = np.asarray(resample(a, orig_sr, 24_000))
+            np.testing.assert_array_equal(g, ref)
+        # mixed dtype group falls back to host normalization, same result
+        mixed = [ints[0], normed[1], ints[2], normed[3], ints[4], normed[5]]
+        got_m = resample_many(mixed, orig_sr, 24_000, max_rows=6)
+        for a, g in zip(normed, got_m):
+            np.testing.assert_array_equal(g, np.asarray(resample(a, orig_sr, 24_000)))
+    # same-rate passthrough normalizes int16
+    same = resample_many([ints[0]], 24_000, 24_000)
+    np.testing.assert_array_equal(same[0], normed[0])
+
+
 def test_split_long_audio():
     x = np.arange(5000)
     parts = split_long_audio(x, 1920)

@@ -137,6 +137,79 @@ def test_engine_int16_streaming_policy(tiny_oracle, rng):
     assert (got == ref).all()
 
 
+def test_engine_fused_resample_matches_oracle(tiny_oracle, rng):
+    """sr != 24k with masked semantics takes the FUSED on-device resample
+    (source-rate upload, polyphase conv inside the encode program): codes
+    must equal resample-then-encode via the torch oracle, for float and
+    raw-int16 input, at both common source rates."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    from tokenize_audio_tpu.core.audio import resample
+
+    for src_sr in (16_000, 48_000):
+        lengths = [1000, 4801, 12_000]
+        pcms = [(rng.standard_normal(n) * 8000).astype(np.int16) for n in lengths]
+        floats = [p.astype(np.float32) / 32768.0 for p in pcms]
+        got_i = eng.encode_batch(pcms, sr=src_sr)
+        got_f = eng.encode_batch(floats, sr=src_sr)
+        for a, gi, gf in zip(floats, got_i, got_f):
+            a24 = np.asarray(resample(a, src_sr, 24_000))
+            ref = ref_codes(model, a24)
+            assert gi.shape == ref.shape
+            assert (gi == ref).all()
+            assert (gf == ref).all()
+
+
+def test_engine_unmasked_resample_fallback(tiny_oracle, rng):
+    """masked=False cannot use the fused path (it needs per-row valid
+    masking); the engine falls back to the batched device resample."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=4.0),
+        masked=False,
+    )
+    a16 = (rng.standard_normal(9600) * 0.3).astype(np.float32)
+    got = eng.encode_batch([a16], sr=16_000)[0]
+    from tokenize_audio_tpu.core.audio import bucket_for_length, resample
+
+    a24 = np.asarray(resample(a16, 16_000, 24_000))
+    # unmasked = HF pad-to-length semantics: the reference is the encode of
+    # the same bucket-padded buffer, trimmed to the true frame count
+    bucket = bucket_for_length(len(a24), eng.buckets)
+    padded = np.zeros(bucket, dtype=np.float32)
+    padded[: len(a24)] = a24
+    ref = ref_codes(model, padded)[:, : got.shape[1]]
+    assert (got == ref).all()
+
+
+def test_engine_fused_resample_long_split(tiny_oracle, rng):
+    """>cap audio at a non-24k rate splits at the SOURCE rate with frame
+    alignment; codes equal per-piece resample-then-encode."""
+    model, params, cfg = tiny_oracle
+    cap_s = 2.0
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=cap_s)
+    )
+    n = int(16_000 * 5.3)
+    a16 = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    got = eng.encode_chunk(a16, sr=16_000)
+    from tokenize_audio_tpu.core.audio import resample
+
+    spf16 = 1280  # 1920 * 2 // 3
+    cap16 = int(16_000 * cap_s) // spf16 * spf16
+    refs = []
+    for s in range(0, n, cap16):
+        piece24 = np.asarray(resample(a16[s : s + cap16], 16_000, 24_000))
+        refs.append(ref_codes(model, piece24))
+    ref = np.concatenate(refs, axis=1)
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
 def test_engine_dp_mesh_equivalence(tiny_oracle, rng):
     """Batch sharded over 8 virtual devices == single-device, bit for bit
     (SURVEY §4 implication (e))."""

@@ -104,22 +104,20 @@ def encode_samples(
 
     def load_chunk(chunk):
         try:
-            audios = []
-            for r in chunk:
-                audio, sr = _decode_embedded_audio(r[spec.audio_field])
-                audios.append(engine.prepare_audio(audio, sr))
-            return chunk, audios, None
+            # decode only; resampling is deferred to the engine, which
+            # batches it on device (encode_batch_mixed groups by rate)
+            return chunk, [_decode_embedded_audio(r[spec.audio_field]) for r in chunk], None
         except Exception as e:  # noqa: BLE001 — surfaced to the main loop
             return chunk, None, e
 
-    for ci, (chunk, audios, err) in enumerate(
+    for ci, (chunk, items, err) in enumerate(
         prefetch_map(load_chunk, iter(chunks), workers=1, depth=2)
     ):
         start = ci * bs
         try:
             if err is not None:
                 raise err
-            codes = engine.encode_batch(audios)
+            codes = engine.encode_batch_mixed(items)
         except Exception:  # noqa: BLE001 — skip bad batch, keep the shard alive
             logger.exception("skipping batch %d-%d", start, start + len(chunk))
             continue

@@ -22,6 +22,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import jax
@@ -35,6 +36,7 @@ from tokenize_audio_tpu.core.audio import (
     pad_to_bucket,
     pcm_to_float,
     resample,
+    resample_many,
     split_long_audio_with_context,
 )
 from tokenize_audio_tpu.engine.metrics import EngineStats
@@ -86,12 +88,9 @@ class MimiEncoderEngine:
         self.num_codebooks = num_codebooks or self.engine_cfg.num_codebooks
         self.masked = masked
         self.stats = EngineStats()
-        self.buckets = make_buckets(
-            self.engine_cfg.min_bucket_seconds,
-            self.engine_cfg.max_chunk_seconds + self.engine_cfg.split_context_seconds,
-            self.engine_cfg.bucket_growth,
-            self.engine_cfg.sample_rate,
-            self.cfg.samples_per_frame,
+        self._bucket_cache: dict = {}
+        self.buckets = self._buckets_for(
+            self.engine_cfg.sample_rate, self.cfg.samples_per_frame
         )
         self._batch_sharding = None
         if mesh is not None:
@@ -117,6 +116,21 @@ class MimiEncoderEngine:
 
     # -- internals ---------------------------------------------------------
 
+    def _buckets_for(self, domain_sr: int, spf_io: int):
+        """Bucket lattice in ``domain_sr``-samples (the fused-resample path
+        buckets at the SOURCE rate so frames stay aligned end to end)."""
+        key = (domain_sr, spf_io)
+        if key not in self._bucket_cache:
+            self._bucket_cache[key] = make_buckets(
+                self.engine_cfg.min_bucket_seconds,
+                self.engine_cfg.max_chunk_seconds
+                + self.engine_cfg.split_context_seconds,
+                self.engine_cfg.bucket_growth,
+                domain_sr,
+                spf_io,
+            )
+        return self._bucket_cache[key]
+
     def _device_batch(self, batch: np.ndarray, lengths: np.ndarray):
         b = jnp.asarray(batch)
         v = jnp.asarray(lengths)
@@ -125,9 +139,16 @@ class MimiEncoderEngine:
             v = jax.device_put(v, self._batch_sharding)
         return b, v
 
-    def _dispatch(self, utterances: Sequence[np.ndarray], bucket: int):
+    def _dispatch(
+        self,
+        utterances: Sequence[np.ndarray],
+        bucket: int,
+        resample_arg: "Optional[tuple]" = None,
+    ):
         """Pad one device batch and launch the (async) encode. Returns the
-        in-flight (codes, valid, n_real) device handles."""
+        in-flight (codes, valid, n_real) device handles. ``resample_arg``
+        = static (up, down) for the fused on-device resample (rows are at
+        the source rate)."""
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         group = list(utterances)
         n_real = len(group)
@@ -151,6 +172,7 @@ class MimiEncoderEngine:
                 masked=self.masked,
                 # lossless narrow transfer dtype (see EngineConfig note)
                 code_dtype=self.engine_cfg.code_transfer_dtype,
+                resample=resample_arg,
             )
             # queue the device->host copy now: it starts the moment compute
             # finishes, overlapping with collection of earlier batches
@@ -175,6 +197,20 @@ class MimiEncoderEngine:
             out.append(codes[i, :, :f])
             self.stats.frames += f
         return out
+
+    def _prepare_mono(self, audio: np.ndarray) -> np.ndarray:
+        """Mixdown/flatten only — no resample, int16 preserved (the batch
+        path resamples many rows per device call via resample_many)."""
+        audio = np.asarray(audio)
+        if audio.ndim == 2:
+            ch_axis = int(np.argmin(audio.shape))
+            if audio.shape[ch_axis] > 8:
+                raise ValueError(
+                    f"ambiguous multichannel audio shape {audio.shape}; pass "
+                    "mono (T,) or channels on the small axis (<= 8)"
+                )
+            audio = pcm_to_float(audio).mean(axis=ch_axis)
+        return audio.reshape(-1)
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
         audio = np.asarray(audio)
@@ -214,23 +250,49 @@ class MimiEncoderEngine:
         input order. Audio longer than the 60 s cap is split and
         re-concatenated on the code time axis (or streamed exactly with
         long_audio_policy="stream")."""
-        prepared = [self._prepare(a, sr) for a in audios]
+        rate = self.engine_cfg.sample_rate
+        resample_arg = None
+        spf_io = self.cfg.samples_per_frame  # samples per frame in the I/O domain
+        domain_sr = rate
+        if sr != rate:
+            g = math.gcd(int(sr), int(rate))
+            up, down = rate // g, sr // g
+            if self.masked and (self.cfg.samples_per_frame * down) % up == 0:
+                # FUSED on-device resample: ship source-rate PCM (int16
+                # stays int16 — e.g. 16 kHz int16 is 6x fewer upload bytes
+                # than 24 kHz f32) and resample inside the encode program;
+                # bucketing/splitting run in source samples, frame-aligned
+                # via the integer source-samples-per-frame
+                resample_arg = (up, down)
+                spf_io = self.cfg.samples_per_frame * down // up
+                domain_sr = sr
+                prepared = [self._prepare_mono(a) for a in audios]
+            else:
+                # non-integer source frame (exotic rate) or unmasked HF
+                # semantics: batched device resample, then the 24 kHz path
+                raw = [self._prepare_mono(a) for a in audios]
+                with self.stats.stage("resample"):
+                    prepared = resample_many(raw, sr, rate)
+        else:
+            prepared = [self._prepare(a, sr) for a in audios]
+        buckets = self._buckets_for(domain_sr, spf_io)
         # explode >cap audio into pieces, remembering the mapping
         pieces: List[np.ndarray] = []
         piece_of: List[int] = []
         piece_drop: List[int] = []  # leading context frames to discard
         streamed: dict[int, np.ndarray] = {}
-        cap = self.engine_cfg.max_chunk_samples
-        ctx = int(self.engine_cfg.split_context_seconds * self.engine_cfg.sample_rate)
+        cap = int(self.engine_cfg.max_chunk_seconds * domain_sr)
+        ctx = int(self.engine_cfg.split_context_seconds * domain_sr)
         for i, a in enumerate(prepared):
-            self.stats.audio_seconds += len(a) / self.engine_cfg.sample_rate
+            self.stats.audio_seconds += len(a) / domain_sr
             self.stats.utterances += 1
             if self.engine_cfg.long_audio_policy == "stream" and len(a) > cap:
+                if domain_sr != rate:
+                    # the streaming encoder consumes 24 kHz float audio
+                    a = np.asarray(resample(pcm_to_float(a), domain_sr, rate))
                 streamed[i] = self._encode_streaming(a)
                 continue
-            for p, drop in split_long_audio_with_context(
-                a, cap, ctx, self.cfg.samples_per_frame
-            ):
+            for p, drop in split_long_audio_with_context(a, cap, ctx, spf_io):
                 pieces.append(p)
                 piece_of.append(i)
                 piece_drop.append(drop)
@@ -240,7 +302,7 @@ class MimiEncoderEngine:
         jobs: List[tuple] = []  # (bucket, [piece indices])
         j = 0
         while j < len(order):
-            bucket = bucket_for_length(len(pieces[order[j]]), self.buckets)
+            bucket = bucket_for_length(len(pieces[order[j]]), buckets)
             group_idx = []
             while j < len(order) and len(pieces[order[j]]) <= bucket:
                 group_idx.append(order[j])
@@ -263,7 +325,9 @@ class MimiEncoderEngine:
                 results[g] = c
 
         for bucket, idxs in jobs:
-            inflight.append((self._dispatch([pieces[g] for g in idxs], bucket), idxs))
+            inflight.append(
+                (self._dispatch([pieces[g] for g in idxs], bucket, resample_arg), idxs)
+            )
             if len(inflight) >= self.pipeline_depth:
                 drain_one()
         while inflight:

@@ -343,7 +343,8 @@ def split_rvq_encode(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_quantizers", "masked", "code_dtype")
+    jax.jit,
+    static_argnames=("cfg", "num_quantizers", "masked", "code_dtype", "resample"),
 )
 def encode(
     params: Params,
@@ -353,6 +354,7 @@ def encode(
     num_quantizers: int = 8,
     masked: bool = True,
     code_dtype: str = "int32",
+    resample: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Encode (B, T) float32 audio -> (codes (B, K, T/1920), frame valid).
 
@@ -392,6 +394,23 @@ def encode(
             f"integer audio must be int16 PCM (got {audio.dtype}); "
             "normalize other PCM widths on host via pcm_to_float"
         )
+    if resample is not None:
+        # fused on-device resample: audio arrives at the SOURCE rate (so
+        # 16 kHz int16 uploads 6x fewer bytes than 24 kHz f32) and the
+        # polyphase conv runs inside this program — no intermediate
+        # device->host->device round trip. Exactness: zero-padding beyond
+        # ``valid`` produces filter ringing in the tail, but every causal
+        # conv's VALID outputs read only positions < valid (+ the
+        # replicate-pad extra, which reads the last valid sample), so the
+        # masked invariant keeps codes bit-identical to resample-then-
+        # encode. Requires masked per-row semantics for that argument.
+        if not masked or valid is None:
+            raise ValueError("fused resample requires masked=True with valid lengths")
+        from tokenize_audio_tpu.core.audio import _resample_batch
+
+        up, down = resample
+        audio = _resample_batch(audio.astype(jnp.float32), up, down)
+        valid = -(-(valid * up) // down)  # ceil(valid * up / down)
     x = audio[:, None, :].astype(dt)
     valid_in = valid
     if not masked:

@@ -75,6 +75,21 @@ def main():
     rt = max(passes)
     wall = best_wall
     engine.stats = best_stats
+
+    # secondary: MLS-shaped 16 kHz int16 workload through the FUSED
+    # on-device resample (source-rate upload + polyphase inside the encode
+    # program). Reported in detail only; the headline stays the 24 kHz run.
+    audios16 = [
+        (rng.standard_normal(int(s * 16_000)) * 0.3 * 32767).astype(np.int16)
+        for s in lengths_s
+    ]
+    total16_s = sum(len(a) for a in audios16) / 16_000.0
+    engine.stats = EngineStats()  # keep the 16k passes out of best_stats
+    engine.encode_batch(audios16, sr=16_000)  # warm fused-16k shapes
+    t0 = time.perf_counter()
+    engine.encode_batch(audios16, sr=16_000)
+    rt16 = total16_s / (time.perf_counter() - t0)
+    engine.stats = best_stats  # report the best 24 kHz pass's stats
     result = {
         "metric": "audio_hours_per_hour_per_chip",
         "value": round(rt, 2),
@@ -86,6 +101,7 @@ def main():
             "wall_seconds": round(wall, 3),
             "utterances": n_utts,
             "pass_x_realtime": [round(p, 1) for p in passes],
+            "fused_16khz_x_realtime": round(rt16, 1),
             "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
             "stage_seconds": {
                 k: round(v, 3) for k, v in engine.stats.stage_seconds.items()

@@ -25,6 +25,7 @@ import logging
 import os
 import shutil
 import tarfile
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Protocol, Tuple
 
 import numpy as np
@@ -35,8 +36,8 @@ from tokenize_audio_tpu.io import decode_audio
 from tokenize_audio_tpu.io.prefetch import prefetch_map
 from tokenize_audio_tpu.runner import (
     ShardProgress,
-    append_jsonl,
-    atomic_write_json,
+    append_jsonl_lines,
+    atomic_write_text,
     read_json,
     read_jsonl,
 )
@@ -198,6 +199,18 @@ def slice_chunks(
     return ids, segments
 
 
+def _entry_to_json(e: Dict) -> str:
+    """One entry -> compact JSON string; uint16 code ndarrays convert to
+    int lists here (deferred off the encode critical path into the
+    write-behind serializer thread)."""
+    if "codes" in e:
+        e = {
+            **e,
+            "codes": {cid: np.asarray(c).tolist() for cid, c in e["codes"].items()},
+        }
+    return json.dumps(e)
+
+
 def is_json_complete(path: str) -> bool:
     """Every entry must carry a codes field before upload counts
     (process_shard.py:792-824)."""
@@ -306,7 +319,10 @@ class SubShardProcessor:
                 segments, sr=self.sample_rate
             )  # >cap chunks split+concat inside
             for (ri, cid), codes in zip(owners, codes_list):
-                results[ri]["codes"][cid] = codes.astype(np.uint16).tolist()
+                # kept as uint16 ndarrays here; the JSON int-list conversion
+                # (tolist ~1 s per million codes) happens in the write-behind
+                # serializer thread, off the encode critical path
+                results[ri]["codes"][cid] = codes.astype(np.uint16)
         for e in results:
             if "codes" in e and not e["codes"]:
                 logger.warning(
@@ -343,6 +359,11 @@ class SubShardProcessor:
         # re-decoding zero-chunk entries forever (process_shard.py:647-655)
         done = {e["audio_id"]: e for e in (existing or []) if "codes" in e}
         results_by_id: Dict[str, Dict] = dict(done)
+        # serialized JSON per entry: built ONCE (in the writer thread for
+        # new groups, here for resumed entries) and reused for both the
+        # partial appends and the final output assembly — entry JSON is
+        # never produced twice
+        json_strs: Dict[str, str] = {aid: json.dumps(e) for aid, e in done.items()}
         todo = [e for e in metadata if e["audio_id"] not in done]
         loaded = prefetch_map(
             lambda e: (e, self._load_entry_audio(e, extract_dir)),
@@ -356,6 +377,21 @@ class SubShardProcessor:
         # 24 kHz audio ≈ 110 MB buffered worst case
         max_buf_samples = 20 * 60 * self.sample_rate
 
+        # write-behind serializer: tolist + json.dumps of code arrays cost
+        # ~1-2 s per million codes — a single writer thread does both and
+        # the fsync'd append while the main thread keeps the device fed.
+        # One thread => appends stay ordered; errors surface at join.
+        writer = ThreadPoolExecutor(max_workers=1)
+        write_futures: List = []
+
+        def write_group(group: List[Dict]) -> None:
+            lines = []
+            for r in group:
+                s = _entry_to_json(r)
+                json_strs[r["audio_id"]] = s
+                lines.append(s)
+            append_jsonl_lines(partial_path, lines)
+
         def flush_group():
             nonlocal buf_samples
             group = self.process_entries(buf)
@@ -363,24 +399,34 @@ class SubShardProcessor:
                 results_by_id[r["audio_id"]] = r
             buf.clear()
             buf_samples = 0
-            append_jsonl(partial_path, group)
+            write_futures.append(writer.submit(write_group, group))
 
-        for entry, audio24 in loaded:
-            buf.append((entry, audio24))
-            buf_samples += 0 if audio24 is None else len(audio24)
-            if len(buf) >= self.save_every or buf_samples >= max_buf_samples:
+        try:
+            for entry, audio24 in loaded:
+                buf.append((entry, audio24))
+                buf_samples += 0 if audio24 is None else len(audio24)
+                if len(buf) >= self.save_every or buf_samples >= max_buf_samples:
+                    flush_group()
+            if buf:
                 flush_group()
-        if buf:
-            flush_group()
-        out = [results_by_id[e["audio_id"]] for e in metadata]
-        atomic_write_json(output_path, out)
+        finally:
+            # drain the write queue even when encode raised (the partial
+            # stays a valid resume set); writer errors surface below only
+            # on the normal path so they can't mask an encode exception
+            writer.shutdown(wait=True)
+        for f in write_futures:
+            f.result()  # propagate writer-thread failures
+        out_ids = [e["audio_id"] for e in metadata]
+        atomic_write_text(
+            output_path, "[" + ", ".join(json_strs[a] for a in out_ids) + "]"
+        )
         try:
             os.unlink(partial_path)
         except FileNotFoundError:
             pass
         shutil.rmtree(extract_dir, ignore_errors=True)
         os.unlink(tar_path)
-        return out
+        return [results_by_id[a] for a in out_ids]
 
 
 # ---------------------------------------------------------------------------

@@ -144,17 +144,21 @@ class MimiEncoderEngine:
         utterances: Sequence[np.ndarray],
         bucket: int,
         resample_arg: "Optional[tuple]" = None,
+        budget_len: Optional[int] = None,
     ):
         """Pad one device batch and launch the (async) encode. Returns the
         in-flight (codes, valid, n_real) device handles. ``resample_arg``
         = static (up, down) for the fused on-device resample (rows are at
-        the source rate)."""
+        the source rate); ``budget_len`` is the POST-resample length used
+        for the activation-memory samples budget (defaults to bucket)."""
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         group = list(utterances)
         n_real = len(group)
         # static power-of-two batch size >= n_real (bounded program set per
         # bucket, dp axis divides evenly, minimal padded-row waste)
-        bs = self.engine_cfg.batch_size_for_group(bucket, n_real, multiple_of=dp)
+        bs = self.engine_cfg.batch_size_for_group(
+            budget_len if budget_len is not None else bucket, n_real, multiple_of=dp
+        )
         # pad rows match the group's dtype so an all-int16 group keeps the
         # narrow-transfer fast path (pad_to_bucket falls back to f32 on mix)
         pad_dtype = group[0].dtype if group else np.float32
@@ -199,8 +203,9 @@ class MimiEncoderEngine:
         return out
 
     def _prepare_mono(self, audio: np.ndarray) -> np.ndarray:
-        """Mixdown/flatten only — no resample, int16 preserved (the batch
-        path resamples many rows per device call via resample_many)."""
+        """Mixdown/flatten only — no resample, int16 preserved (non-24 kHz
+        input then resamples on device: fused into the encode program, or
+        via resample_many for the unmasked/exotic-rate fallback)."""
         audio = np.asarray(audio)
         if audio.ndim == 2:
             ch_axis = int(np.argmin(audio.shape))
@@ -213,18 +218,7 @@ class MimiEncoderEngine:
         return audio.reshape(-1)
 
     def _prepare(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        audio = np.asarray(audio)
-        if audio.ndim == 2:
-            # mono mixdown (librosa.load default); the channel axis is the
-            # small one — accept (T, C) or (C, T), reject ambiguous shapes
-            ch_axis = int(np.argmin(audio.shape))
-            if audio.shape[ch_axis] > 8:
-                raise ValueError(
-                    f"ambiguous multichannel audio shape {audio.shape}; pass "
-                    "mono (T,) or channels on the small axis (<= 8)"
-                )
-            audio = pcm_to_float(audio).mean(axis=ch_axis)
-        audio = audio.reshape(-1)
+        audio = self._prepare_mono(audio)
         if sr != self.engine_cfg.sample_rate:
             audio = pcm_to_float(audio)
             with self.stats.stage("resample"):
@@ -308,9 +302,12 @@ class MimiEncoderEngine:
                 group_idx.append(order[j])
                 j += 1
             dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
-            bs = self.engine_cfg.batch_size_for_bucket(bucket, multiple_of=dp)
+            # the samples budget bounds POST-resample activation memory, so
+            # size batches by the resampled length, not the source length
+            budget_len = bucket if resample_arg is None else bucket * up // down
+            bs = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=dp)
             for s in range(0, len(group_idx), bs):
-                jobs.append((bucket, group_idx[s : s + bs]))
+                jobs.append((bucket, budget_len, group_idx[s : s + bs]))
 
         # pipelined execution: keep up to pipeline_depth batches in flight so
         # host-side padding and result fetch overlap device compute (the
@@ -324,9 +321,14 @@ class MimiEncoderEngine:
             for g, c in zip(idxs, self._collect(handle)):
                 results[g] = c
 
-        for bucket, idxs in jobs:
+        for bucket, budget_len, idxs in jobs:
             inflight.append(
-                (self._dispatch([pieces[g] for g in idxs], bucket, resample_arg), idxs)
+                (
+                    self._dispatch(
+                        [pieces[g] for g in idxs], bucket, resample_arg, budget_len
+                    ),
+                    idxs,
+                )
             )
             if len(inflight) >= self.pipeline_depth:
                 drain_one()

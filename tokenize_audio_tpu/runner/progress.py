@@ -34,12 +34,29 @@ def read_json(path: str, default: Any = None) -> Any:
         return default
 
 
+def atomic_write_text(path: str, text: str) -> None:
+    """Atomic tmp+rename write of pre-serialized text (same contract as
+    atomic_write_json, for callers that already hold the serialized form)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def append_jsonl(path: str, records: List[Any]) -> None:
     """Append records as JSON lines, fsync'd. O(new) per save where the
     rewrite-everything pattern is O(total) — the incremental-checkpoint
     primitive for large accumulating outputs. A crash mid-append leaves at
     most one torn LAST line, which read_jsonl drops."""
-    if not records:
+    append_jsonl_lines(path, [json.dumps(r) for r in records])
+
+
+def append_jsonl_lines(path: str, lines: List[str]) -> None:
+    """append_jsonl for already-serialized single-line JSON strings."""
+    if not lines:
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "ab") as f:
@@ -52,8 +69,8 @@ def append_jsonl(path: str, records: List[Any]) -> None:
                 ends_nl = rf.read(1) == b"\n"
             if not ends_nl:
                 f.write(b"\n")
-        for r in records:
-            f.write(json.dumps(r).encode())
+        for line in lines:
+            f.write(line.encode())
             f.write(b"\n")
         f.flush()
         os.fsync(f.fileno())

@@ -29,6 +29,8 @@ class TokenEstimator:
     def count_tokens(self, texts: Sequence[str]) -> int:
         total = 0
         for t in texts:
+            if not isinstance(t, str):
+                continue  # null parquet cells sample as None: 0 tokens
             enc = self.tokenizer.encode(t)
             total += len(enc if isinstance(enc, list) else enc.ids)
         return total

@@ -89,6 +89,11 @@ def validate_rows(rows: List[Dict], num_codebooks: int = NUM_CODEBOOKS) -> Dict:
         probs = []
         if "id" not in r or "text" not in r:
             probs.append("missing id/text column")
+        elif not isinstance(r["text"], str):
+            # a null/NaN cell (pandas to_dict yields None or float nan) is a
+            # bad row to COUNT, not a crash — a QA tool must survive exactly
+            # the malformed outputs it exists to report
+            probs.append(f"non-string text value ({type(r['text']).__name__})")
         else:
             if r["id"] in seen:
                 probs.append("duplicate id")

@@ -86,6 +86,9 @@ class HFHub(ArtifactStore):
                     self.repo_id, path, repo_type=self.repo_type
                 ),
                 f"file_exists({path})",
+                # a misnamed/gated repo is permanent — surface immediately
+                # instead of burning the backoff budget on every ledger check
+                fatal=self._not_found_errors(),
             )
         )
         self._exists_cache[path] = result
@@ -136,6 +139,7 @@ class HFHub(ArtifactStore):
         files = self._retry(
             lambda: self.api.list_repo_files(self.repo_id, repo_type=self.repo_type),
             "list_repo_files",
+            fatal=self._not_found_errors(),  # see exists()
         )
         return sorted(f for f in files if f.startswith(prefix))
 
@@ -146,10 +150,19 @@ class HFHub(ArtifactStore):
         from huggingface_hub import hf_hub_download
 
         os.makedirs(os.path.dirname(os.path.abspath(local_path)), exist_ok=True)
+        # download via local_dir so the artifact lands ONCE at the
+        # destination: the default cache path would keep a second copy of
+        # every multi-GB shard in ~/.cache/huggingface until the disk fills
+        # (callers unlink only their working copy). Temp dir on the same
+        # filesystem makes the final placement an atomic rename.
+        tmp_dir = f"{os.path.abspath(local_path)}.hfdl.{os.getpid()}"
         try:
             got = self._retry(
                 lambda: hf_hub_download(
-                    repo_id=self.repo_id, filename=repo_path, repo_type=self.repo_type
+                    repo_id=self.repo_id,
+                    filename=repo_path,
+                    repo_type=self.repo_type,
+                    local_dir=tmp_dir,
                 ),
                 f"download({repo_path})",
                 # permanent errors propagate untouched: a missing file must
@@ -157,7 +170,7 @@ class HFHub(ArtifactStore):
                 # informative EntryNotFoundError
                 fatal=self._not_found_errors(),
             )
-            shutil.copyfile(got, local_path)
+            os.replace(got, local_path)
             return local_path
         except self._not_found_errors():
             raise
@@ -167,6 +180,8 @@ class HFHub(ArtifactStore):
                 repo_path,
             )
             return self._download_direct(repo_path, local_path)
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
 
     # -- raw resolve-URL path ---------------------------------------------
 

@@ -44,7 +44,6 @@ from tokenize_audio_tpu.mimi.model import (
     _elu,
     _layer_norm,
     _rope_at,
-    _rope_tables,
     _rotate_half,
     split_rvq_encode,
 )
@@ -179,10 +178,8 @@ def _transformer_step(
         mask = jnp.where(allowed, 0.0, neg)[None, None]
     else:
         # full causal (HF one-shot semantics): grow-in-place cache
-        cos_all, sin_all = _rope_tables(cfg, m)
-        pos = t_off + jnp.arange(f)
-        cos = cos_all[pos][None, None]
-        sin = sin_all[pos][None, None]
+        cos, sin = _rope_at(cfg, t_off + jnp.arange(f))
+        cos, sin = cos[None, None], sin[None, None]
         jpos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 1)
         ipos = jax.lax.broadcasted_iota(jnp.int32, (f, m), 0)
         mask = jnp.where(jpos <= t_off + ipos, 0.0, neg)[None, None]
@@ -352,6 +349,18 @@ class StreamingMimiEncoder:
                 "KV caches now hold end-of-stream padding state, so further "
                 "chunks would silently produce wrong codes — reset() first"
             )
+        # validate the common-end invariant BEFORE touching any state: a
+        # post-step raise would leave the caches already advanced, making
+        # the suggested remedy (re-push padded rows) impossible without
+        # losing the whole stream. Per-row valid frames are host-derivable:
+        # ceil(ceil(valid/960)/2) == ceil(valid/1920).
+        exp12 = -(-valid // spf)
+        if not (exp12 == exp12[0]).all():
+            raise ValueError(
+                f"per-row valid frame counts differ ({exp12.tolist()}); push() "
+                "returns one trimmed array, so rows must end together — pad "
+                "rows to a common valid length or stream them separately"
+            )
         if (valid < audio.shape[1]).any():
             self._finished = True  # partial chunk ends the stream
         f25 = audio.shape[1] // (spf // 2)
@@ -375,12 +384,7 @@ class StreamingMimiEncoder:
             num_quantizers=self.num_quantizers,
         )
         f_arr = np.asarray(v12)
-        if not (f_arr == f_arr[0]).all():
-            raise ValueError(
-                f"per-row valid frame counts differ ({f_arr.tolist()}); push() "
-                "returns one trimmed array, so rows must end together — pad "
-                "rows to a common valid length or stream them separately"
-            )
+        assert (f_arr == exp12).all(), (f_arr, exp12)  # host formula == device
         return np.asarray(codes)[:, :, : int(f_arr[0])]
 
     def encode_stream(self, audio: np.ndarray) -> np.ndarray:

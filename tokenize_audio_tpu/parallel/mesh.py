@@ -30,6 +30,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
         dp = len(devices) // tp
+    if dp < 1 or dp * tp > len(devices):
+        raise ValueError(
+            f"mesh {dp}x{tp} needs {max(dp, 1) * tp} devices, found "
+            f"{len(devices)} — an empty/overshooting grid would otherwise "
+            "surface as an obscure sharding error far from here"
+        )
     if dp * tp != len(devices):
         devices = devices[: dp * tp]
     grid = np.asarray(devices).reshape(dp, tp)
@@ -59,7 +65,14 @@ def shard_params_tp(params, mesh: Mesh):
     col = NamedSharding(mesh, P("model", None))
     row = NamedSharding(mesh, P(None, "model"))
 
-    out = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+    # replicate everything EXCEPT the transformer, which gets its TP
+    # placement below — device_putting it replicated first would ship the
+    # bottleneck weights over the wire twice and discard the first copies
+    out = {
+        k: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), v)
+        for k, v in params.items()
+        if k != "tfm"
+    }
     tp_layers = []
     for lp in params["tfm"]:
         lp = dict(lp)

@@ -155,3 +155,33 @@ def test_cache_resume_skips_encoded(tmp_path, rng, tiny_oracle):
     rows = read_parquet(str(tmp_path / "dst2" / "Emilia" / "EN" / "EN_B00000.parquet"))
     doc = [r for r in rows if r["id"] == "EN_B00000_S00001_type1"][0]["text"]
     assert "CACHED" in doc and "from cache" in doc
+    # resume ordering: W000000 came from the cache, W000001 was encoded and
+    # APPENDED after it in completion order — the document must still be in
+    # sorted-uid (chronological) order, with the cached utterance first
+    assert doc.index("from cache") < doc.index("utt 1-1")
+
+
+def test_resume_out_of_order_cache_keeps_uid_order(tmp_path, rng, tiny_oracle):
+    """A cache whose entries were appended out of uid order (retried file
+    landing last) must not permute document utterance order."""
+    src = build_tar(tmp_path, rng)
+    dst = LocalHub(str(tmp_path / "dst4"))
+    proc = EmiliaShardProcessor(
+        "Emilia", "EN", "EN_B00000", src, dst, make_engine(tiny_oracle),
+        str(tmp_path / "work4"),
+    )
+    os.makedirs(proc.work_dir, exist_ok=True)
+    # seed the LATER utterance only — the earlier one encodes afterwards,
+    # appending to the cache behind it
+    fake = {
+        "EN_B00000_S00001_W000001": {
+            "audio_str": "LATER",
+            "transcript": "second",
+            "speaker": "SPEAKER_01",
+        }
+    }
+    json.dump(fake, open(proc.cache_path, "w"))
+    proc.process()
+    rows = read_parquet(str(tmp_path / "dst4" / "Emilia" / "EN" / "EN_B00000.parquet"))
+    doc = [r for r in rows if r["id"] == "EN_B00000_S00001_type1"][0]["text"]
+    assert doc.index("utt 1-0") < doc.index("second")

@@ -117,6 +117,24 @@ def test_runner_adopts_hub_state(tmp_path):
     assert rep.skipped == 1
 
 
+def test_runner_hub_exists_wins_over_retry(tmp_path):
+    """A unit marked failed locally whose artifacts ARE on the hub (crash
+    between upload and mark-completed) adopts instead of re-encoding —
+    hub-exists has precedence over the retry set, like the yodas2 plan."""
+    hub = LocalHub(str(tmp_path / "hub"))
+    hub.upload_file(_write(tmp_path, "pre.json"), "data/u0.json")
+    prog_dir = str(tmp_path / "prog")
+    ShardProgress(prog_dir, "s0").mark_failed("u0")
+
+    def process(unit):
+        raise AssertionError("must not re-process a hub-complete unit")
+
+    runner = ShardRunner("s0", hub, prog_dir, process)
+    rep = runner.run([WorkUnit("u0", done_markers=("data/u0.json",))])
+    assert rep.skipped == 1 and rep.failed == 0
+    assert runner.progress.is_completed("u0")
+
+
 def test_runner_failure_isolation_and_resume(tmp_path):
     hub = LocalHub(str(tmp_path / "hub"))
     attempts = {"u1": 0}

@@ -262,14 +262,19 @@ class EmiliaShardProcessor:
                 flush_batch()
         flush_batch()
 
-        usable = cache
+        # deterministic utterance order regardless of encode/resume history:
+        # the append-only cache holds entries in completion order, which a
+        # resumed run permutes (retried files append last) — documents must
+        # keep the sorted-uid order the reference gets from its sorted file
+        # list ({LANG}_{B}_{S}_{W} ids sort chronologically per speaker)
+        usable = dict(sorted(cache.items()))
         if self.conversational:
             # a cache written by an earlier run (or standard-mode pass) may
             # hold entries without diarized labels; drop them instead of
             # letting build_rows' strict check crash the shard forever
             usable = {
                 uid: v
-                for uid, v in cache.items()
+                for uid, v in usable.items()
                 if str(v.get("speaker", "")).startswith("SPEAKER_")
             }
             for uid in cache.keys() - usable.keys():
@@ -285,7 +290,10 @@ class EmiliaShardProcessor:
             raise RuntimeError(f"upload verification failed: {self.target_path}")
         os.unlink(local_out)
         shutil.rmtree(extract_dir, ignore_errors=True)
-        os.unlink(self.cache_path)
+        try:
+            os.unlink(self.cache_path)
+        except FileNotFoundError:
+            pass  # zero encoded utterances: no cache file was ever created
         return {
             "shard": self.shard_id,
             "status": "processed",

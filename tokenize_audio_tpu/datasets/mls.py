@@ -121,10 +121,13 @@ class MLSStage1Processor:
         def flush():
             if not batch:
                 return
-            items = [
-                (np.asarray(e["audio"]["array"], dtype=np.float32), int(e["audio"]["sampling_rate"]))
-                for e, _, _ in batch
-            ]
+            # shared cell decoder: handles {'array','sampling_rate'} AND the
+            # common HF {'bytes','path'} embedded layouts (parquet_corpus)
+            from tokenize_audio_tpu.datasets.parquet_corpus import (
+                _decode_embedded_audio,
+            )
+
+            items = [_decode_embedded_audio(e["audio"]) for e, _, _ in batch]
             for (e, eid, op), c in zip(batch, self.engine.encode_batch_mixed(items)):
                 self._write_entry(e, eid, op, c)
             batch.clear()

@@ -584,9 +584,13 @@ class Yodas2ShardProcessor:
             tar_path, txt_path = paths
             try:
                 out_path = os.path.join(self.work_dir, f"{sid}.out.json")
-                self.sub.process(tar_path, txt_path, out_path)
+                entries = self.sub.process(tar_path, txt_path, out_path)
                 os.unlink(txt_path)
-                if not is_json_complete(out_path):
+                # same completeness gate as is_json_complete, WITHOUT
+                # re-parsing the (potentially hundreds-of-MB) file just
+                # written — process() returned the same entries (the helper
+                # stays for scan_and_queue_local's cold-start path)
+                if not entries or not all("codes" in e for e in entries):
                     # entries whose audio failed to load lack a codes field;
                     # validate-before-upload (process_shard.py:792-824) —
                     # the output stays local as the resume set and the

@@ -111,6 +111,15 @@ def run(args) -> int:
                     h.close()  # one fd per launched shard otherwise leaks
                 jobs.pop(s, None)
                 _save_jobs(args.run_dir, jobs)
+        # adopted jobs (still-alive pids from a previous run) count toward
+        # the concurrency cap too — a rerun must not oversubscribe the chip
+        for s, pid in list(jobs.items()):
+            if s not in procs and not _alive(pid):
+                jobs.pop(s, None)
+                _save_jobs(args.run_dir, jobs)
+
+    def active() -> int:
+        return len(procs) + sum(1 for s in jobs if s not in procs)
 
     for shard in shards:
         if shard in jobs:  # skip-if-queued
@@ -121,7 +130,7 @@ def run(args) -> int:
             print(f"[pod-runner] {shard}: already completed")
             skipped += 1
             continue
-        while len(procs) >= args.max_concurrent:
+        while active() >= args.max_concurrent:
             poll()
             time.sleep(args.poll_seconds)
         cmd = [c.replace("{shard}", shard) for c in args.cmd]
@@ -155,8 +164,15 @@ def cancel(args) -> int:
                 killed += 1
             except ProcessLookupError:
                 pass
-    _save_jobs(args.run_dir, {})
-    print(f"[pod-runner] killed {killed} jobs")
+    # keep registry entries for pids that are still shutting down: wiping
+    # them immediately would let a concurrent `run` miss skip-if-queued and
+    # launch a duplicate onto the same progress file/chip
+    deadline = time.time() + 10.0
+    while time.time() < deadline and any(_alive(p) for p in jobs.values()):
+        time.sleep(0.2)
+    _save_jobs(args.run_dir, {s: p for s, p in jobs.items() if _alive(p)})
+    still = sum(1 for p in jobs.values() if _alive(p))
+    print(f"[pod-runner] killed {killed} jobs" + (f" ({still} still exiting, kept in registry)" if still else ""))
     return 0
 
 

@@ -102,10 +102,15 @@ class ShardRunner:
     def run(self, units: Sequence[WorkUnit]) -> RunReport:
         t0 = time.perf_counter()
         report = RunReport()
-        retry_ids = set(self.progress.failed)
         consecutive = 0
         for unit in units:
-            if self.is_unit_done(unit) and unit.unit_id not in retry_ids:
+            # hub-exists wins over local failed state (same precedence as
+            # the yodas2 plan): a crash between upload and mark-completed
+            # leaves the unit failed locally with its artifacts already on
+            # the hub — re-encoding it would redo the most expensive stage
+            # for nothing. Units in progress.failed without hub markers are
+            # not "done" and fall through to reprocessing.
+            if self.is_unit_done(unit):
                 report.skipped += 1
                 continue
             try:

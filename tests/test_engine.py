@@ -227,6 +227,16 @@ def test_engine_dp_mesh_equivalence(tiny_oracle, rng):
     got_solo = eng_solo.encode_batch(audios)
     for m, s in zip(got_mesh, got_solo):
         assert (m == s).all()
+    # fused on-device resample under the dp mesh: source-rate int16 rows,
+    # sharded batch, == single-device fused encode bit for bit
+    pcms16 = [
+        (rng.standard_normal(n) * 8000).astype(np.int16)
+        for n in (1000, 4801, 12_000, 2560, 640, 9000, 3000, 7000)
+    ]
+    got_mesh16 = eng_mesh.encode_batch(pcms16, sr=16_000)
+    got_solo16 = eng_solo.encode_batch(pcms16, sr=16_000)
+    for m, s in zip(got_mesh16, got_solo16):
+        assert (m == s).all()
 
 
 def test_engine_mesh_batch_divisibility(tiny_oracle):

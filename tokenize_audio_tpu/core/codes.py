@@ -198,9 +198,15 @@ def chars_to_codes(
             codes, num_codebooks, codebook_size, unicode_offset
         )
     if codes.size % num_codebooks != 0:
+        hint = (
+            "pass drop_hanging_codes=True to trim partial frames"
+            if not drop_hanging_codes
+            else "the stream has out-of-cycle codes inside the trimmed "
+            "region; pass drop_inconsistent_codes=True to drop them"
+        )
         raise ValueError(
             f"Code stream length {codes.size} is not divisible by num_codebooks "
-            f"{num_codebooks}; pass drop_hanging_codes=True to trim partial frames."
+            f"{num_codebooks}; {hint}."
         )
     codes = codes.reshape(-1, num_codebooks).T
     offsets = unicode_offset + np.arange(num_codebooks, dtype=np.int64) * codebook_size

@@ -59,7 +59,7 @@ def _prune_for_encode(params, num_codebooks: int):
         h.pop("out_proj", None)
         rvq[head] = h
     n_sem = rvq["semantic"]["embed"].shape[0]
-    n_ac = max(0, num_codebooks - min(n_sem, num_codebooks))
+    n_ac = max(0, num_codebooks - n_sem)
     rvq["semantic"]["embed"] = rvq["semantic"]["embed"][: min(n_sem, num_codebooks)]
     rvq["acoustic"]["embed"] = rvq["acoustic"]["embed"][:n_ac]
     keep["rvq"] = rvq
@@ -132,11 +132,15 @@ class MimiEncoderEngine:
         return self._bucket_cache[key]
 
     def _device_batch(self, batch: np.ndarray, lengths: np.ndarray):
-        b = jnp.asarray(batch)
-        v = jnp.asarray(lengths)
         if self._batch_sharding is not None:
-            b = jax.device_put(b, self._batch_sharding)
-            v = jax.device_put(v, self._batch_sharding)
+            # device_put straight from numpy with the sharding: asarray()
+            # first would commit to the default device and reshard — two
+            # transfers of every batch on the hot path
+            b = jax.device_put(batch, self._batch_sharding)
+            v = jax.device_put(lengths, self._batch_sharding)
+        else:
+            b = jnp.asarray(batch)
+            v = jnp.asarray(lengths)
         return b, v
 
     def _dispatch(
@@ -198,7 +202,9 @@ class MimiEncoderEngine:
         out = []
         for i in range(n_real):
             f = int(valid[i])
-            out.append(codes[i, :, :f])
+            # copy: a trimmed VIEW would pin the whole (B, K, T_bucket)
+            # batch buffer for as long as a caller keeps one row's codes
+            out.append(codes[i, :, :f].copy())
             self.stats.frames += f
         return out
 
@@ -382,6 +388,10 @@ class MimiEncoderEngine:
                 parts.append(enc.encode_stream(audio[s : s + horizon]))
         codes = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
         self.stats.frames += codes.shape[1]
+        # streamed frames carry no bucket padding; count them on both sides
+        # so bucket_efficiency keeps measuring bucketed waste only (and
+        # stays <= 1 when streamed and bucketed work mix)
+        self.stats.padded_frames += codes.shape[1]
         # match the bucketed path's configured transfer dtype, so a batch's
         # results share one dtype regardless of which path each row took
         return codes.astype(np.dtype(self.engine_cfg.code_transfer_dtype))

@@ -241,9 +241,12 @@ def transformer_apply(params: Params, cfg: MimiConfig, h: jax.Array) -> jax.Arra
     scale = 1.0 / np.sqrt(cfg.head_dim)
     dt = h.dtype
     prec = _HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    # cos/sin stay f32: the config contract (mimi/config.py) promises RoPE
+    # in f32 even in bf16 fast mode — the rotation products below compute
+    # in f32 (jnp promotes bf16*f32 -> f32) and the einsum re-narrows
     cos, sin = _rope_tables(cfg, t)  # f32, like MimiRotaryEmbedding
-    cos_b = cos[None, None, :, :].astype(dt)
-    sin_b = sin[None, None, :, :].astype(dt)
+    cos_b = cos[None, None, :, :]
+    sin_b = sin[None, None, :, :]
     mask = _attention_mask(cfg, t)[None, None, :, :].astype(dt)
 
     for lp in params:
@@ -254,8 +257,8 @@ def transformer_apply(params: Params, cfg: MimiConfig, h: jax.Array) -> jax.Arra
         q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-        q = q * cos_b + _rotate_half(q) * sin_b
-        k = k * cos_b + _rotate_half(k) * sin_b
+        q = (q * cos_b + _rotate_half(q) * sin_b).astype(dt)
+        k = (k * cos_b + _rotate_half(k) * sin_b).astype(dt)
         aw = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec) * scale
         aw = aw + mask
         # fp32 softmax then back to the compute dtype (MimiAttention:684-685)
@@ -363,7 +366,8 @@ def encode(
     8: mls-en-mimi-pretrain/process_shard.py:33). ``valid`` are per-row
     sample counts; pass None (or masked=False) for HF pad-to-length
     semantics. ``code_dtype="uint16"`` is lossless (codebook 2048 < 2^16)
-    and halves the device->host transfer — the engine's default.
+    and halves wire bytes, but the engine defaults to int32 — measured
+    faster end-to-end on the dev fabric (EngineConfig.code_transfer_dtype).
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if dt != jnp.float32:

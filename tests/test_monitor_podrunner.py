@@ -108,6 +108,52 @@ def test_pod_runner_fanout_and_skip(tmp_path):
     assert json.load(open(os.path.join(run_dir, "jobs.json"))) == {}
 
 
+def test_pod_runner_adopted_jobs_count_toward_throttle(tmp_path):
+    """A still-alive job adopted from the pidfile registry occupies a
+    concurrency slot: a rerun with max-concurrent=1 must wait for it to
+    exit before launching the next shard (it could otherwise oversubscribe
+    the chip)."""
+    import subprocess
+    import time as _time
+
+    from tokenize_audio_tpu.runner.pod_runner import _save_jobs
+
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    # a previously-launched shard, still running for ~1.2 s. Reap it from
+    # a thread the moment it exits: as OUR child it would otherwise linger
+    # as a zombie that os.kill(pid, 0) still sees as alive (production
+    # adopted pids are not the pod-runner's children, so this is test-only)
+    import threading
+
+    adopted = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(1.2)"])
+    threading.Thread(target=adopted.wait, daemon=True).start()
+    _save_jobs(run_dir, {"s_old": adopted.pid})
+
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("s_new\n")
+    marker = tmp_path / "marker"
+    t0 = _time.perf_counter()
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list", str(shard_list),
+            "--max-concurrent", "1",
+            "--poll-seconds", "0.1",
+            "--run-dir", run_dir,
+            "--log-dir", str(tmp_path / "logs"),
+            "--wait",
+            "--",
+            sys.executable, "-c", f"open(r'{marker}','w').write('{{shard}}')",
+        ]
+    )
+    wall = _time.perf_counter() - t0
+    adopted.wait()
+    assert rc == 0
+    assert marker.read_text() == "s_new"  # did launch, but only after...
+    assert wall >= 1.0, f"launched while the adopted job still held the slot ({wall:.2f}s)"
+
+
 def test_manifest_generation(tmp_path):
     from tokenize_audio_tpu.runner.manifests import (
         shard_list_from_hub,

@@ -105,7 +105,6 @@ def test_shard_end_to_end_and_skip(tmp_path, rng, tiny_oracle):
         dst,
         make_engine(tiny_oracle),
         str(tmp_path / "work"),
-        cache_interval=1,
     )
     rep = proc.process()
     assert rep["status"] == "processed" and rep["rows"] == 4  # 2 speakers x 2 types
@@ -140,7 +139,7 @@ def test_cache_resume_skips_encoded(tmp_path, rng, tiny_oracle):
     eng = make_engine(tiny_oracle)
     work = str(tmp_path / "work3")
     proc = EmiliaShardProcessor(
-        "Emilia", "EN", "EN_B00000", src, dst, eng, work, cache_interval=1
+        "Emilia", "EN", "EN_B00000", src, dst, eng, work
     )
     os.makedirs(proc.work_dir, exist_ok=True)
     fake = {

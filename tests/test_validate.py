@@ -44,6 +44,36 @@ def test_code_invariants_detected(rng):
     assert any("invalid codes" in p for p in validate_document(bad_codes))
 
 
+def test_all_tag_problems_collected(rng):
+    # forensics contract: a badly corrupted row reports EVERY violation,
+    # not just the first (the scan recovers and keeps going)
+    span = make_span(rng)
+    doc = (
+        "<|begin_of_text|>"
+        "<|audio_start|><|text_start|>x<|text_end|>"  # nested at text_start
+        "<|audio_end|>"
+        "<|text_end|>"  # unmatched
+        "<|audio_start|>" + span +  # unclosed at EOF
+        "<|end_of_text|>"
+    )
+    probs = validate_document(doc)
+    assert any("nested" in p for p in probs)
+    assert any("unmatched" in p for p in probs)
+    assert any("unclosed" in p for p in probs)
+
+
+def test_null_text_row_still_checked_for_duplicate_id(rng):
+    span = make_span(rng)
+    rows = [
+        {"id": "a", "text": tts_document("ok", span)},
+        {"id": "a", "text": None},  # null text AND duplicate id
+    ]
+    rep = validate_rows(rows)
+    probs = rep["problems"]["a"]
+    assert any("duplicate id" in p for p in probs)
+    assert any("non-string text" in p for p in probs)
+
+
 def test_validate_rows_and_cli(tmp_path, rng, capsys):
     span = make_span(rng)
     rows = [

@@ -45,21 +45,25 @@ def validate_document(
         problems.append("missing bos")
     if not text.endswith(T["eos"]):
         problems.append("missing eos")
-    # tag pairing: audio/text spans open+close in order, non-nested
+    # tag pairing: audio/text spans open+close in order, non-nested. Scan
+    # the WHOLE document, collecting every violation (a forensics report on
+    # a badly corrupted row must count all the damage, not stop at the
+    # first problem); recover by resetting the span state after each one.
     stack: List[str] = []
     for m in _ANY_TAG.finditer(text):
         tag = m.group(1)
         if tag in ("audio_start", "text_start"):
             if stack:
-                problems.append(f"nested span at {tag}")
-                break
+                problems.append(f"nested span at {tag} (offset {m.start()})")
+                stack.clear()
             stack.append(tag)
         elif tag in ("audio_end", "text_end"):
             want = tag.replace("_end", "_start")
             if not stack or stack[-1] != want:
-                problems.append(f"unmatched {tag}")
-                break
-            stack.pop()
+                problems.append(f"unmatched {tag} (offset {m.start()})")
+                stack.clear()
+            else:
+                stack.pop()
     if stack:
         problems.append(f"unclosed {stack[-1]}")
 
@@ -89,16 +93,20 @@ def validate_rows(rows: List[Dict], num_codebooks: int = NUM_CODEBOOKS) -> Dict:
         probs = []
         if "id" not in r or "text" not in r:
             probs.append("missing id/text column")
-        elif not isinstance(r["text"], str):
-            # a null/NaN cell (pandas to_dict yields None or float nan) is a
-            # bad row to COUNT, not a crash — a QA tool must survive exactly
-            # the malformed outputs it exists to report
-            probs.append(f"non-string text value ({type(r['text']).__name__})")
         else:
+            # every per-row check runs independently: a null-text row must
+            # still be counted for duplicate ids (and vice versa) — elif
+            # chaining here undercounted compound damage
             if r["id"] in seen:
                 probs.append("duplicate id")
             seen.add(r["id"])
-            probs += validate_document(r["text"], num_codebooks)
+            if not isinstance(r["text"], str):
+                # a null/NaN cell (pandas to_dict yields None or float nan)
+                # is a bad row to COUNT, not a crash — a QA tool must survive
+                # exactly the malformed outputs it exists to report
+                probs.append(f"non-string text value ({type(r['text']).__name__})")
+            else:
+                probs += validate_document(r["text"], num_codebooks)
         if probs:
             report["bad_rows"] += 1
             report["problems"].setdefault(str(r.get("id", "?")), probs)

@@ -15,6 +15,14 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument("--samples-per-batch", type=int, default=None)
     ap.add_argument("--max-chunk-seconds", type=float, default=60.0)
     ap.add_argument(
+        "--growth",
+        type=float,
+        default=None,
+        help="bucket-lattice growth factor (default EngineConfig.bucket_growth; "
+        "finer = less padding waste but more compiled shapes — the persistent "
+        "compile cache makes extra shapes one-time per machine)",
+    )
+    ap.add_argument(
         "--fast",
         action="store_true",
         help="bfloat16 compute (~2.6x raw throughput; NOT a parity mode — "
@@ -54,6 +62,8 @@ def engine_from_args(
             "no --params given; using seeded random weights"
         )
         params = random_params(cfg)
+    if getattr(args, "growth", None) is not None:
+        engine_overrides.setdefault("bucket_growth", args.growth)
     ecfg = EngineConfig(
         batch_size=args.batch_size,
         samples_per_batch=getattr(args, "samples_per_batch", None),

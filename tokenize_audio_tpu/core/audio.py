@@ -26,6 +26,16 @@ up to 3.6e-2) still agree on 99.79%/99.83% of codes (16k/48k) and
 99.29%/99.72% of frames end-to-end. Expected scipy-vs-soxr code deviation
 is well inside that envelope and concentrated in frames with significant
 transition-band energy.
+
+Split-then-resample boundary frames: for audio over the engine's 60 s cap
+on the FUSED resample path, the engine splits at the SOURCE rate first and
+resamples each piece inside its encode program. The non-causal polyphase
+filter then sees zeros past each piece's end instead of the next piece's
+samples, so the last few frames of every piece can differ from a
+resample-whole-then-split order (the fused path's bit-identical guarantee
+is PER PIECE). Same approximation class as the reference's own 60 s
+receptive-field cuts (yodas2-mimi/process_shard.py:436-493); tests pin the
+per-piece semantics.
 """
 
 from __future__ import annotations

@@ -108,9 +108,6 @@ class EmiliaShardProcessor:
         target_hub,
         engine: MimiEncoderEngine,
         work_dir: str,
-        # retained for CLI compatibility; the append-only JSONL cache
-        # persists every encoded batch, so no periodic rewrite happens
-        cache_interval: int = 50,
         conversational: bool = False,
         # mp3 decode threads: one core decodes ~2400x real time, about the
         # chip's encode rate, so serial decode would halve shard throughput
@@ -121,7 +118,6 @@ class EmiliaShardProcessor:
         self.engine = engine
         self.work_dir = os.path.join(work_dir, shard_id)
         os.makedirs(self.work_dir, exist_ok=True)
-        self.cache_interval = cache_interval
         self.conversational = conversational
         self.num_workers = num_workers
         self.cache_path = os.path.join(self.work_dir, "audio_str_cache.json")
@@ -311,7 +307,6 @@ def main(argv=None):
     ap.add_argument("--target-hub", required=True)
     ap.add_argument("--work-dir", default="/tmp/ta_emilia")
     ap.add_argument("--conversational", action="store_true")
-    ap.add_argument("--cache-interval", type=int, default=50)
     from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
 
     add_engine_args(ap)
@@ -326,7 +321,6 @@ def main(argv=None):
         open_hub(args.target_hub),
         engine,
         args.work_dir,
-        cache_interval=args.cache_interval,
         conversational=args.conversational,
     )
     print(json.dumps(proc.process()))

@@ -170,7 +170,18 @@ class HFHub(ArtifactStore):
                 # informative EntryNotFoundError
                 fatal=self._not_found_errors(),
             )
-            os.replace(got, local_path)
+            if os.path.islink(got):
+                # huggingface_hub < 0.23 could materialize local_dir entries
+                # as symlinks into the shared cache; moving the link would
+                # silently keep the duplicate cache copy this path exists to
+                # eliminate. Copy the real bytes out, then drop the cached
+                # blob the link pointed at.
+                target = os.path.realpath(got)
+                shutil.copyfile(target, local_path)
+                os.unlink(got)
+                os.unlink(target)
+            else:
+                os.replace(got, local_path)
             return local_path
         except self._not_found_errors():
             raise

@@ -82,6 +82,20 @@ class MimiConfig:
     # throughput when a small code-flip rate near quantization boundaries
     # is acceptable.
     compute_dtype: str = "float32"
+    # MXU emulation level for the f32 SEANet convs, transformer einsums, and
+    # the 25->12.5 Hz downsample (only meaningful with compute_dtype
+    # "float32"; bf16 mode always uses the native DEFAULT path):
+    #   "highest" — 6-pass bf16 f32 emulation, bitwise == torch CPU f32.
+    #   "high"    — 3-pass bf16x3 (~2x cheaper on the MXU, ~1-2 ulp of f32).
+    #               SEANet is 73% of encode compute at ~2% MXU utilization
+    #               purely from the 6-pass emulation (NOTES.md), so this is
+    #               the one big compute lever that can preserve parity;
+    #               scripts/precision_probe.py measures the code match rate
+    #               on k-means-realistic codebooks before trusting it.
+    #   "default" — single-pass bf16 inputs (NOT a parity mode).
+    # RVQ distance matmuls and the quantizer in_proj always stay HIGHEST:
+    # they are argmin-adjacent and only ~6% of compute.
+    matmul_precision: str = "highest"
 
     @property
     def frame_rate(self) -> float:

@@ -39,6 +39,18 @@ from tokenize_audio_tpu.mimi.config import MimiConfig
 
 Params = Dict[str, Any]
 _HIGHEST = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def matmul_precision(cfg: MimiConfig) -> jax.lax.Precision:
+    """The f32 MXU emulation level for SEANet/transformer/downsample matmuls
+    (MimiConfig.matmul_precision). RVQ stays HIGHEST regardless — it is
+    argmin-adjacent and ~6% of compute."""
+    return _PRECISIONS[cfg.matmul_precision]
 
 
 # ---------------------------------------------------------------------------
@@ -53,6 +65,7 @@ def causal_conv1d(
     stride: int = 1,
     dilation: int = 1,
     pad_mode: str = "constant",
+    precision: Optional[jax.lax.Precision] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Causal Conv1d matching transformers MimiConv1d (modeling_mimi.py:204-341).
 
@@ -97,8 +110,11 @@ def causal_conv1d(
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        # HIGHEST keeps f32 bit-parity; bf16 fast mode uses the native MXU path
-        precision=_HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
+        # f32 defaults to HIGHEST bit-parity (callers pass the configured
+        # level); bf16 fast mode always uses the native MXU path
+        precision=(precision or _HIGHEST)
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT,
     )
     if b is not None:
         y = y + b[None, :, None]
@@ -122,8 +138,10 @@ def seanet_encode(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """(B, 1, T) audio -> (B, hidden, T/prod(ratios)) at 25 Hz.
     Mirrors transformers MimiEncoder (modeling_mimi.py:444-486)."""
+    prec = matmul_precision(cfg)
     x, valid = causal_conv1d(
-        x, valid, params["enc_in"]["w"], params["enc_in"]["b"], pad_mode=cfg.pad_mode
+        x, valid, params["enc_in"]["w"], params["enc_in"]["b"], pad_mode=cfg.pad_mode,
+        precision=prec,
     )
     use_fused = (
         cfg.seanet_backend == "pallas"
@@ -168,17 +186,23 @@ def seanet_encode(
                 res["c1"]["b"],
                 dilation=cfg.dilation_growth_rate**j,
                 pad_mode=cfg.pad_mode,
+                precision=prec,
             )
             h = _elu(h)
-            h, _ = causal_conv1d(h, valid, res["c2"]["w"], res["c2"]["b"], pad_mode=cfg.pad_mode)
+            h, _ = causal_conv1d(
+                h, valid, res["c2"]["w"], res["c2"]["b"], pad_mode=cfg.pad_mode,
+                precision=prec,
+            )
             x = residual + h
         x = _elu(x)
         x, valid = causal_conv1d(
-            x, valid, block["down"]["w"], block["down"]["b"], stride=stride, pad_mode=cfg.pad_mode
+            x, valid, block["down"]["w"], block["down"]["b"], stride=stride,
+            pad_mode=cfg.pad_mode, precision=prec,
         )
     x = _elu(x)
     x, valid = causal_conv1d(
-        x, valid, params["enc_out"]["w"], params["enc_out"]["b"], pad_mode=cfg.pad_mode
+        x, valid, params["enc_out"]["w"], params["enc_out"]["b"], pad_mode=cfg.pad_mode,
+        precision=prec,
     )
     return x, valid
 
@@ -240,7 +264,7 @@ def transformer_apply(params: Params, cfg: MimiConfig, h: jax.Array) -> jax.Arra
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     scale = 1.0 / np.sqrt(cfg.head_dim)
     dt = h.dtype
-    prec = _HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    prec = matmul_precision(cfg) if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     # cos/sin stay f32: the config contract (mimi/config.py) promises RoPE
     # in f32 even in bf16 fast mode — the rotation products below compute
     # in f32 (jnp promotes bf16*f32 -> f32) and the einsum re-narrows
@@ -407,7 +431,11 @@ def encode(
         # conv's VALID outputs read only positions < valid (+ the
         # replicate-pad extra, which reads the last valid sample), so the
         # masked invariant keeps codes bit-identical to resample-then-
-        # encode. Requires masked per-row semantics for that argument.
+        # encode OF THE SAME ROW (per piece: the engine splits >cap audio
+        # at the source rate before resampling, so frames at split
+        # boundaries may differ from a resample-whole-then-split order —
+        # see the DEVIATION CONTRACT in core/audio.py). Requires masked
+        # per-row semantics for that argument.
         if not masked or valid is None:
             raise ValueError("fused resample requires masked=True with valid lengths")
         from tokenize_audio_tpu.core.audio import _resample_batch
@@ -426,7 +454,8 @@ def encode(
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[-1]), 2)
         x = jnp.where(pos < valid[:, None, None], x, jnp.zeros((), dt))
     x, valid = causal_conv1d(
-        x, valid, params["downsample"]["w"], None, stride=2, pad_mode="replicate"
+        x, valid, params["downsample"]["w"], None, stride=2, pad_mode="replicate",
+        precision=matmul_precision(cfg),
     )
     codes = split_rvq_encode(
         params["rvq"], x.astype(jnp.float32), num_quantizers, backend=cfg.rvq_backend

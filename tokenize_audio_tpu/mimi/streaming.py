@@ -45,6 +45,7 @@ from tokenize_audio_tpu.mimi.model import (
     _layer_norm,
     _rope_at,
     _rotate_half,
+    matmul_precision,
     split_rvq_encode,
 )
 
@@ -63,6 +64,7 @@ def _cached_conv(
     stride: int = 1,
     dilation: int = 1,
     valid: Optional[jax.Array] = None,
+    precision: Optional[jax.lax.Precision] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Conv over [cache | x]; returns (y, new_cache, new_valid).
 
@@ -79,7 +81,9 @@ def _cached_conv(
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT,
+        precision=(precision or _HIGHEST)
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT,
     )
     if b is not None:
         y = y + b[None, :, None]
@@ -159,6 +163,7 @@ def _transformer_step(
     b, f, c = h.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     m = kv.shape[-2]
+    prec = matmul_precision(cfg)
     scale = 1.0 / np.sqrt(hd)
     neg = jnp.finfo(jnp.float32).min
     windowed = cfg.use_sliding_window
@@ -187,9 +192,9 @@ def _transformer_step(
     new_kv = kv
     for li, lp in enumerate(params):
         x = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
-        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=_HIGHEST)
-        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=_HIGHEST)
-        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=_HIGHEST)
+        q = jnp.einsum("btc,dc->btd", x, lp["q"], precision=prec)
+        k = jnp.einsum("btc,dc->btd", x, lp["k"], precision=prec)
+        v = jnp.einsum("btc,dc->btd", x, lp["v"], precision=prec)
         q = q.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, f, nh, hd).transpose(0, 2, 1, 3)
@@ -211,17 +216,17 @@ def _transformer_step(
                 new_kv[li, 1], v, (0, 0, t_off, 0)
             )
             new_kv = new_kv.at[li, 0].set(k_cache).at[li, 1].set(v_cache)
-        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache, precision=_HIGHEST) * scale
+        aw = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache, precision=prec) * scale
         aw = aw + mask
         aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1)
-        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v_cache, precision=_HIGHEST)
+        att = jnp.einsum("bhqk,bhkd->bhqd", aw, v_cache, precision=prec)
         att = att.transpose(0, 2, 1, 3).reshape(b, f, nh * hd)
-        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=_HIGHEST)
+        att = jnp.einsum("btd,cd->btc", att, lp["o"], precision=prec)
         h = h + lp["ls1"] * att
         x = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
-        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=_HIGHEST)
+        x = jnp.einsum("btc,fc->btf", x, lp["fc1"], precision=prec)
         x = jax.nn.gelu(x, approximate=False)
-        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=_HIGHEST)
+        x = jnp.einsum("btf,cf->btc", x, lp["fc2"], precision=prec)
         h = h + lp["ls2"] * x
     return h, new_kv
 
@@ -238,9 +243,13 @@ def stream_step(
     caches = list(state.conv_caches)
     ci = 0
 
+    prec = matmul_precision(cfg)
+
     def conv(x, w, b, stride=1, dilation=1, v=None):
         nonlocal ci
-        y, caches[ci], nv = _cached_conv(x, caches[ci], w, b, stride, dilation, v)
+        y, caches[ci], nv = _cached_conv(
+            x, caches[ci], w, b, stride, dilation, v, precision=prec
+        )
         ci += 1
         return y, nv
 
@@ -281,7 +290,8 @@ def stream_step(
         (p25 >= v[:, None, None]) & (p25 < (v + extra)[:, None, None]), last, x
     )
     x, caches[ci], v12 = _cached_conv(
-        x, ds_cache, params["downsample"]["w"], None, stride=2, valid=v
+        x, ds_cache, params["downsample"]["w"], None, stride=2, valid=v,
+        precision=prec,
     )
     ci += 1
 

@@ -34,6 +34,75 @@ def test_rename_preserves_id(tmp_path, rng):
     )
 
 
+def _tiny_lm(tie: bool):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=32,
+        hidden_size=16,
+        intermediate_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        tie_word_embeddings=tie,
+    )
+    return LlamaForCausalLM(cfg)
+
+
+def test_extend_model_embeddings_untied():
+    import torch
+
+    from tokenize_audio_tpu.bpe.surgery import extend_model_embeddings
+
+    model = _tiny_lm(tie=False)
+    orig_embed = model.get_input_embeddings().weight.data.clone()
+    orig_head = model.get_output_embeddings().weight.data.clone()
+    extend_model_embeddings(model, 48, num_tokens_to_copy=30, noise_std=0.01)
+
+    w = model.get_input_embeddings().weight.data
+    assert w.shape == (48, 16) and model.config.vocab_size == 48
+    assert torch.equal(w[:30], orig_embed[:30])  # trained rows untouched
+    mean = orig_embed[:30].float().mean(0)
+    # new rows = mean + N(0, 0.01): all near the mean, but not identical
+    assert (w[30:] - mean).abs().max() < 0.1
+    assert not torch.equal(w[30], w[31])
+    h = model.get_output_embeddings().weight.data
+    assert h.shape == (48, 16)
+    assert torch.equal(h[:30], orig_head[:30])
+    # the model must actually run with a new-vocab token id
+    out = model(torch.tensor([[47, 2, 33]]))
+    assert out.logits.shape == (1, 3, 48)
+
+
+def test_extend_model_embeddings_tied():
+    import torch
+
+    from tokenize_audio_tpu.bpe.surgery import extend_model_embeddings
+
+    model = _tiny_lm(tie=True)
+    extend_model_embeddings(model, 40)
+    w = model.get_input_embeddings().weight
+    h = model.get_output_embeddings().weight
+    assert w.shape == (40, 16)
+    assert h.data_ptr() == w.data_ptr()  # still tied after the resize
+    out = model(torch.tensor([[39, 0]]))
+    assert out.logits.shape == (1, 2, 40)
+
+
+def test_extend_model_embeddings_rejects_shrink():
+    import pytest
+
+    from tokenize_audio_tpu.bpe.surgery import extend_model_embeddings
+
+    model = _tiny_lm(tie=False)
+    with pytest.raises(ValueError):
+        extend_model_embeddings(model, 16)
+    with pytest.raises(ValueError):
+        extend_model_embeddings(model, 64, num_tokens_to_copy=33)
+
+
 def test_set_bos(tmp_path, rng):
     base_dir, base = make_base(tmp_path, rng)
     n = len(base)

@@ -28,6 +28,14 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         help="bfloat16 compute (~2.6x raw throughput; NOT a parity mode — "
         "measured ~33%% code match on realistic codebooks, see NOTES.md)",
     )
+    ap.add_argument(
+        "--precision",
+        default="highest",
+        choices=["highest", "high"],
+        help="f32 MXU emulation level: highest = bit-exact parity (default); "
+        "high = 3-pass, 1.35x compute at ~89%% code match (NOTES.md r3) — "
+        "a middle throughput mode between parity and --fast",
+    )
     ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--seanet-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument(
@@ -52,6 +60,7 @@ def engine_from_args(
     enable_compile_cache()
     cfg = MimiConfig(
         compute_dtype="bfloat16" if getattr(args, "fast", False) else "float32",
+        matmul_precision=getattr(args, "precision", "highest"),
         rvq_backend=getattr(args, "rvq_backend", "xla"),
         seanet_backend=getattr(args, "seanet_backend", "xla"),
     )

@@ -86,13 +86,14 @@ class MimiConfig:
     # the 25->12.5 Hz downsample (only meaningful with compute_dtype
     # "float32"; bf16 mode always uses the native DEFAULT path):
     #   "highest" — 6-pass bf16 f32 emulation, bitwise == torch CPU f32.
-    #   "high"    — 3-pass bf16x3 (~2x cheaper on the MXU, ~1-2 ulp of f32).
-    #               SEANet is 73% of encode compute at ~2% MXU utilization
-    #               purely from the 6-pass emulation (NOTES.md), so this is
-    #               the one big compute lever that can preserve parity;
-    #               scripts/precision_probe.py measures the code match rate
-    #               on k-means-realistic codebooks before trusting it.
-    #   "default" — single-pass bf16 inputs (NOT a parity mode).
+    #               The ONLY parity mode.
+    #   "high"    — 3-pass bf16x3. MEASURED on TPU v5e with k-means-
+    #               realistic codebooks (scripts/precision_probe.py, NOTES
+    #               r3): 88.6% code match / 63.8% frame match vs HIGHEST at
+    #               1.35x the encode compute (1818 -> 2451x RT) — a middle
+    #               throughput mode, NOT parity (bf16: 38.4% match, 2.3x).
+    #   "default" — single-pass bf16 inputs (equivalent accuracy class to
+    #               compute_dtype="bfloat16"; prefer that switch).
     # RVQ distance matmuls and the quantizer in_proj always stay HIGHEST:
     # they are argmin-adjacent and only ~6% of compute.
     matmul_precision: str = "highest"

@@ -6,6 +6,14 @@
 # pod runner throttles concurrency, progress files + the hub keep
 # everything restart-anywhere idempotent. Run this on each TPU host (or via
 # your pod launcher); state lives entirely under $DATA_DIR and the hub.
+#
+# Multi-chip hosts (v5e-4/-8): the pod runner auto-detects the chip count,
+# gives every concurrent shard job an EXCLUSIVE chip (TPU_VISIBLE_DEVICES
+# et al. — the one-GPU-per-job isolation of the reference's
+# `#SBATCH --gres=gpu:1`), and caps max_concurrent at the chip count. So
+# on a 4-chip host just pass max_concurrent=4; override detection with
+# TOKENIZE_AUDIO_TPU_DEVICES=N or `--chips N`, customize the env template
+# with `--chip-env VAR={chip}`.
 set -euo pipefail
 
 DATA_DIR="${DATA_DIR:-/data/tokenize-audio}"

@@ -349,6 +349,72 @@ def test_long_audio_policy_stream_is_exact(tiny_oracle, rng):
     assert (both[0] == np.asarray(ref_short)[0, :, :2]).all()
 
 
+@pytest.mark.parametrize("fmt", ["packed", "compact"])
+def test_transfer_formats_bit_equal(tiny_oracle, rng, fmt):
+    """The packed / compacted wire formats are pure transport: per-utterance
+    codes (values, shapes, dtype) equal the padded path bit for bit across
+    the tricky paths — mixed lengths, raw int16, >cap split, fused 16 kHz
+    resample."""
+    _, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=2.0)
+    eng_pad = MimiEncoderEngine(params, cfg, ecfg)
+    eng_fmt = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(
+            batch_size=4,
+            min_bucket_seconds=0.5,
+            max_chunk_seconds=2.0,
+            code_transfer_format=fmt,
+        ),
+    )
+    lengths = [1000, 5000, 19200, 26000, 7777, 1920, int(24_000 * 5.3)]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths]
+    audios[2] = (audios[2] * 32767).astype(np.int16)  # raw int16 row
+    a, b = eng_pad.encode_batch(audios), eng_fmt.encode_batch(audios)
+    for x, y in zip(a, b):
+        assert x.dtype == y.dtype and x.shape == y.shape
+        assert (x == y).all()
+    # fused on-device resample (source-rate buckets)
+    pcm16 = [(rng.standard_normal(n) * 8000).astype(np.int16) for n in (1000, 12_000)]
+    a, b = eng_pad.encode_batch(pcm16, sr=16_000), eng_fmt.encode_batch(pcm16, sr=16_000)
+    for x, y in zip(a, b):
+        assert (x == y).all()
+
+
+def test_packed_transfer_under_mesh(tiny_oracle, rng):
+    """'packed' is shard-local (elementwise) and allowed under a mesh;
+    'compact' is rejected (its cumsum would gather across devices)."""
+    _, params, cfg = tiny_oracle
+    mesh = make_mesh(dp=8)
+    ecfg = EngineConfig(
+        batch_size=8, min_bucket_seconds=0.5, max_chunk_seconds=2.0,
+        code_transfer_format="packed",
+    )
+    eng_mesh = MimiEncoderEngine(params, cfg, ecfg, mesh=mesh)
+    eng_solo = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [
+        (rng.standard_normal(n) * 0.3).astype(np.float32)
+        for n in (1000, 5000, 9000, 20000, 1920, 333, 48000, 2500)
+    ]
+    for m, s in zip(eng_mesh.encode_batch(audios), eng_solo.encode_batch(audios)):
+        assert (m == s).all()
+    with pytest.raises(ValueError, match="single-device"):
+        MimiEncoderEngine(
+            params, cfg,
+            EngineConfig(batch_size=8, code_transfer_format="compact"),
+            mesh=mesh,
+        )
+
+
+def test_packed_transfer_rejects_odd_codebooks(tiny_oracle):
+    _, params, cfg = tiny_oracle
+    with pytest.raises(ValueError, match="even"):
+        MimiEncoderEngine(
+            params, cfg, EngineConfig(code_transfer_format="packed"), num_codebooks=7
+        )
+
+
 def test_engine_windowed_mode(tiny_oracle, rng):
     """cfg.use_sliding_window=True flows through the bucketed engine:
     per-utterance codes equal the direct windowed encode."""

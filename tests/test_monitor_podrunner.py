@@ -216,6 +216,46 @@ def test_pod_runner_single_chip_warning(tmp_path, capsys, monkeypatch):
         poll_seconds=0.01,
         cmd=["true"],
         wait=False,
+        chips=None,
+        chip_env=list(pod_runner.DEFAULT_CHIP_ENV),
     )
     pod_runner.run(args)
     assert "contend for the same chip" in capsys.readouterr().out
+
+
+def test_pod_runner_per_chip_isolation(tmp_path, monkeypatch):
+    """On a multi-chip host every concurrent job gets an EXCLUSIVE chip via
+    env (the reference's one-GPU-per-job Slurm isolation,
+    yodas2-mimi/submit/job_template.sh:3-15), the throttle caps at the chip
+    count, and chips are reused once freed."""
+    monkeypatch.setenv("TOKENIZE_AUDIO_TPU_DEVICES", "2")
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("s1\ns2\ns3\n")
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    code = (
+        "import os, time; "
+        f"open(r'{marker_dir}'+'/{{shard}}.chip','w').write("
+        "os.environ['TPU_VISIBLE_DEVICES']); "
+        "assert os.environ['TPU_PROCESS_BOUNDS'] == '1,1,1'; "
+        "time.sleep(0.5)"
+    )
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list", str(shard_list),
+            "--max-concurrent", "4",  # must cap to the 2 chips
+            "--poll-seconds", "0.05",
+            "--run-dir", str(tmp_path / "run"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--wait",
+            "--",
+            sys.executable, "-c", code,
+        ]
+    )
+    assert rc == 0
+    chips = {s: (marker_dir / f"{s}.chip").read_text() for s in ("s1", "s2", "s3")}
+    # first two run concurrently (cap 2) on disjoint chips; the third
+    # reuses whichever chip freed first
+    assert {chips["s1"], chips["s2"]} == {"0", "1"}
+    assert chips["s3"] in {"0", "1"}

@@ -39,6 +39,13 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument("--rvq-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--seanet-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument(
+        "--code-transfer-format",
+        default=None,
+        choices=["padded", "packed", "compact"],
+        help="device->host code wire format (default EngineConfig default; "
+        "see config.py — 'compact' fetches only packed valid frames)",
+    )
+    ap.add_argument(
         "--long-audio-policy",
         default="split",
         choices=["split", "stream"],
@@ -73,6 +80,8 @@ def engine_from_args(
         params = random_params(cfg)
     if getattr(args, "growth", None) is not None:
         engine_overrides.setdefault("bucket_growth", args.growth)
+    if getattr(args, "code_transfer_format", None) is not None:
+        engine_overrides.setdefault("code_transfer_format", args.code_transfer_format)
     ecfg = EngineConfig(
         batch_size=args.batch_size,
         samples_per_batch=getattr(args, "samples_per_batch", None),

@@ -88,8 +88,23 @@ class EngineConfig:
     # within-process A/B (scripts/fetch_dtype_probe.py) showed int32 wins
     # end-to-end every interleaved round — the sub-word convert/layout cost
     # on device exceeds the wire savings (raw device_get alone DOES favor
-    # uint16 ~10x). Measure per fabric before changing.
+    # uint16 ~10x). Measure per fabric before changing. This is also the
+    # dtype of the per-utterance arrays the engine RETURNS in every mode.
     code_transfer_dtype: str = "int32"
+    # device->host wire format (mimi.model.encode ``transfer`` arg):
+    #   "padded"  — (B, K, T_bucket) in code_transfer_dtype (classic).
+    #   "packed"  — adjacent code pairs packed 16-bit-aligned into int32
+    #               words: half the bytes, zero-cost host unpack (a
+    #               little-endian view), no sub-word dtype on the wire.
+    #   "compact" — packed + valid frames gathered to the front on device;
+    #               the engine fetches only a power-of-two-padded prefix
+    #               sized from host-known frame counts, so bucket pad and
+    #               row pad never cross the wire (~2.6x fewer fetch bytes
+    #               at bucket_efficiency 0.76). Requires masked mode;
+    #               not supported under a mesh (the compaction cumsum
+    #               would gather across devices).
+    # Decided by within-process interleaved A/B (scripts/fetch_pack_probe.py).
+    code_transfer_format: str = "padded"
 
     @property
     def max_chunk_samples(self) -> int:

@@ -22,6 +22,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Sequence
 
@@ -42,6 +43,14 @@ from tokenize_audio_tpu.core.audio import (
 from tokenize_audio_tpu.engine.metrics import EngineStats
 from tokenize_audio_tpu.mimi.config import MimiConfig
 from tokenize_audio_tpu.mimi.model import encode as mimi_encode
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _take_prefix(a: jax.Array, n: int) -> jax.Array:
+    """First n rows of the compacted code buffer — the only bytes that
+    cross the wire in "compact" transfer. n is padded to a power of two so
+    the compiled-program set stays ~log2(rows) per buffer shape."""
+    return a[:n]
 
 
 def _prune_for_encode(params, num_codebooks: int):
@@ -92,6 +101,22 @@ class MimiEncoderEngine:
         self.buckets = self._buckets_for(
             self.engine_cfg.sample_rate, self.cfg.samples_per_frame
         )
+        fmt = self.engine_cfg.code_transfer_format
+        if fmt not in ("padded", "packed", "compact"):
+            raise ValueError(f"unknown code_transfer_format {fmt!r}")
+        if fmt != "padded" and self.num_codebooks % 2 != 0:
+            raise ValueError(
+                f"{fmt!r} transfer packs code pairs; num_codebooks "
+                f"{self.num_codebooks} must be even"
+            )
+        if fmt == "compact" and not self.masked:
+            raise ValueError("compact transfer requires masked=True")
+        if fmt == "compact" and mesh is not None:
+            raise ValueError(
+                "compact transfer is single-device (the compaction cumsum "
+                "would gather across the batch sharding); use 'packed' or "
+                "'padded' with a mesh"
+            )
         self._batch_sharding = None
         if mesh is not None:
             from tokenize_audio_tpu.parallel.mesh import batch_sharding, replicate_params
@@ -167,11 +192,22 @@ class MimiEncoderEngine:
         # narrow-transfer fast path (pad_to_bucket falls back to f32 on mix)
         pad_dtype = group[0].dtype if group else np.float32
         group += [np.zeros(1, dtype=pad_dtype)] * (bs - n_real)
+        fmt = self.engine_cfg.code_transfer_format
         with self.stats.stage("pad"):
             batch, lengths = pad_to_bucket(group, bucket)
+        # per-row frame counts are host-derivable (the ceil-division chain
+        # through the conv strides equals one ceil by samples_per_frame, and
+        # the fused resample's device-side valid update is the same ceil) —
+        # so no mode ever fetches the device `valid` array
+        spf = self.cfg.samples_per_frame
+        res_len = lengths.astype(np.int64)
+        if resample_arg is not None:
+            up, down = resample_arg
+            res_len = -((-res_len * up) // down)
+        frames = (-(-res_len // spf)).astype(np.int64)
         with self.stats.stage("dispatch"):
             b, v = self._device_batch(batch, lengths)
-            codes, valid = mimi_encode(
+            codes, _ = mimi_encode(
                 self.params,
                 self.cfg,
                 b,
@@ -181,31 +217,63 @@ class MimiEncoderEngine:
                 # lossless narrow transfer dtype (see EngineConfig note)
                 code_dtype=self.engine_cfg.code_transfer_dtype,
                 resample=resample_arg,
+                transfer=fmt,
             )
+            bucket_frames = bs * int(-(-bucket // (spf if resample_arg is None
+                                                  else spf * down // up)))
+            if fmt == "compact":
+                # fetch only the valid-frame prefix, padded to a power of
+                # two (bounded program set for _take_prefix)
+                total = int(frames.sum())
+                cap = codes.shape[0]
+                n_pad = 1
+                while n_pad < total:
+                    n_pad *= 2
+                codes = _take_prefix(codes, min(n_pad, cap))
             # queue the device->host copy now: it starts the moment compute
             # finishes, overlapping with collection of earlier batches
             # instead of serializing behind it (transport-bound fabrics)
             try:
                 codes.copy_to_host_async()
-                valid.copy_to_host_async()
             except AttributeError:  # CPU arrays under the test mesh
                 pass
-        return codes, valid, n_real
+        return codes, n_real, frames, bucket_frames
 
     def _collect(self, handle) -> List[np.ndarray]:
         """Block on an in-flight batch and trim per-row codes."""
-        codes_d, valid_d, n_real = handle
+        codes_d, n_real, frames, bucket_frames = handle
+        fmt = self.engine_cfg.code_transfer_format
+        dtype = np.dtype(self.engine_cfg.code_transfer_dtype)
         with self.stats.stage("fetch"):
             codes = np.asarray(jax.device_get(codes_d))
-            valid = np.asarray(jax.device_get(valid_d))
-        self.stats.padded_frames += codes.shape[0] * codes.shape[2]
+        self.stats.padded_frames += bucket_frames
         out = []
+        if fmt == "padded":
+            for i in range(n_real):
+                f = int(frames[i])
+                # copy: a trimmed VIEW would pin the whole (B, K, T_bucket)
+                # batch buffer for as long as a caller keeps one row's codes
+                out.append(codes[i, :, :f].copy())
+                self.stats.frames += f
+            return out
+        # packed modes: int32 words -> exact uint16 code stream via a
+        # zero-copy little-endian view (this is why pairs pack low|high<<16)
+        u16 = np.ascontiguousarray(codes).view("<u2")
+        if fmt == "packed":
+            u16 = u16.reshape(codes.shape[0], codes.shape[1], -1)  # (B, T, K)
+            for i in range(n_real):
+                f = int(frames[i])
+                out.append(u16[i, :f].T.astype(dtype))
+                self.stats.frames += f
+            return out
+        # compact: prefix rows are valid frames in row order
+        u16 = u16.reshape(codes.shape[0], -1)  # (rows, K)
+        off = 0
         for i in range(n_real):
-            f = int(valid[i])
-            # copy: a trimmed VIEW would pin the whole (B, K, T_bucket)
-            # batch buffer for as long as a caller keeps one row's codes
-            out.append(codes[i, :, :f].copy())
+            f = int(frames[i])
+            out.append(u16[off : off + f].T.astype(dtype))
             self.stats.frames += f
+            off += f
         return out
 
     def _prepare_mono(self, audio: np.ndarray) -> np.ndarray:

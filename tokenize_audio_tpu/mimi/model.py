@@ -371,7 +371,9 @@ def split_rvq_encode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_quantizers", "masked", "code_dtype", "resample"),
+    static_argnames=(
+        "cfg", "num_quantizers", "masked", "code_dtype", "resample", "transfer"
+    ),
 )
 def encode(
     params: Params,
@@ -382,8 +384,9 @@ def encode(
     masked: bool = True,
     code_dtype: str = "int32",
     resample: Optional[Tuple[int, int]] = None,
+    transfer: str = "padded",
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Encode (B, T) float32 audio -> (codes (B, K, T/1920), frame valid).
+    """Encode (B, T) float32 audio -> (codes, frame valid).
 
     Equivalent of HF ``model.encode(input_values, padding_mask).audio_codes``
     restricted to the first ``num_quantizers`` codebooks (the reference keeps
@@ -392,6 +395,21 @@ def encode(
     semantics. ``code_dtype="uint16"`` is lossless (codebook 2048 < 2^16)
     and halves wire bytes, but the engine defaults to int32 — measured
     faster end-to-end on the dev fabric (EngineConfig.code_transfer_dtype).
+
+    ``transfer`` shapes the device->host wire format (the fetch is the
+    engine's measured bound at 87% of wall on tunneled fabrics, BENCH_r02):
+      - "padded":  codes (B, K, T/1920) in ``code_dtype`` (the HF layout).
+      - "packed":  (B, T/1920, K//2) int32 — adjacent code PAIRS packed
+        16-bit-aligned into one word (codebook 2048 << 2^16, lossless).
+        Half the bytes of int32, and the host unpack is a free
+        little-endian ``view('<u2')`` — no sub-word dtype ever rides the
+        transfer path (raw uint16 device_get LOST end-to-end on this
+        fabric, NOTES r2 #4).
+      - "compact": (B*T/1920, K//2) int32 — packed AND valid frames
+        gathered to the front in row order, so bucket pad and row pad
+        never cross the wire; the caller fetches a host-computed prefix
+        (per-row frame counts are host-derivable from lengths). Requires
+        masked=True with valid. K must be even for the packed modes.
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if dt != jnp.float32:
@@ -463,4 +481,26 @@ def encode(
     if valid is None and valid_in is not None:
         # unmasked (HF batch semantics) still reports per-row frame counts
         valid = -(-valid_in // cfg.samples_per_frame)
-    return codes.astype(jnp.dtype(code_dtype)), valid
+    if transfer == "padded":
+        return codes.astype(jnp.dtype(code_dtype)), valid
+    if num_quantizers % 2 != 0:
+        raise ValueError(f"packed transfer needs even num_quantizers, got {num_quantizers}")
+    # pack adjacent code pairs little-endian into int32 words: the host
+    # recovers the exact (.., K) uint16 stream with a zero-copy view('<u2')
+    ct = codes.transpose(0, 2, 1).astype(jnp.int32)  # (B, T, K)
+    packed = ct[..., 0::2] | (ct[..., 1::2] << 16)  # (B, T, K//2)
+    if transfer == "packed":
+        return packed, valid
+    if transfer != "compact":
+        raise ValueError(f"unknown transfer mode {transfer!r}")
+    if valid is None:
+        raise ValueError("compact transfer requires valid lengths")
+    b, t, kp = packed.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    fmask = (pos < valid[:, None]).reshape(-1)
+    # stable compaction: row-major frame order is preserved, so the host
+    # splits the prefix by cumulative per-row frame counts
+    tgt = jnp.where(fmask, jnp.cumsum(fmask) - 1, b * t)  # invalid -> spill row
+    out = jnp.zeros((b * t + 1, kp), dtype=jnp.int32)
+    out = out.at[tgt].set(packed.reshape(b * t, kp))
+    return out[: b * t], valid

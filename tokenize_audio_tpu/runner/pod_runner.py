@@ -2,7 +2,7 @@
 Slurm submit layer (SURVEY §2.1 #22-23: submit_shard.sh /
 submit_all_shards*.sh / cancel_all_jobs.sh / job templates).
 
-One shard per worker process (in production: one shard per TPU host; the
+One shard per worker process (in production: one shard per TPU chip; the
 coordination plane stays shared-nothing — progress files + the artifact
 hub, exactly like the reference's Slurm jobs). Provides:
 
@@ -11,6 +11,12 @@ hub, exactly like the reference's Slurm jobs). Provides:
     polling loop, emilia-mimi/submit_all_shards.sh:104-143), skip shards
     whose progress ledger says completed or that are already running
     (skip-if-queued, :82-97), per-shard log files, pidfile registry;
+  - per-chip job isolation on multi-chip hosts: every launched job gets an
+    exclusive chip index injected via env (``TPU_VISIBLE_DEVICES`` et al.,
+    ``--chip-env`` to customize), the throttle is capped at the free-chip
+    count, and chips release when jobs exit — the TPU equivalent of the
+    reference's one-GPU-per-job Slurm isolation
+    (yodas2-mimi/submit/job_template.sh:3-15, ``--gres=gpu:1``);
   - ``cancel``: kill every live job in the pidfile registry
     (cancel_all_jobs.sh).
 """
@@ -33,8 +39,13 @@ def _pidfile(run_dir: str) -> str:
     return os.path.join(run_dir, "jobs.json")
 
 
-def _load_jobs(run_dir: str) -> Dict[str, int]:
-    return read_json(_pidfile(run_dir), {}) or {}
+def _load_jobs(run_dir: str) -> Dict[str, dict]:
+    jobs = read_json(_pidfile(run_dir), {}) or {}
+    # registry v1 stored a bare pid; adopt it with an unknown chip
+    return {
+        s: (v if isinstance(v, dict) else {"pid": int(v), "chip": None})
+        for s, v in jobs.items()
+    }
 
 
 def _save_jobs(run_dir: str, jobs: Dict[str, int]) -> None:
@@ -79,23 +90,49 @@ def _visible_tpu_devices():
     return len(nodes) or None
 
 
+# libtpu single-chip visibility: each job sees exactly one chip of the
+# host, the process-equivalent of the reference's `#SBATCH --gres=gpu:1`
+# (yodas2-mimi/submit/job_template.sh:3). Override per fabric with
+# --chip-env VAR={chip} (repeatable; replaces the defaults).
+DEFAULT_CHIP_ENV = (
+    "TPU_VISIBLE_DEVICES={chip}",
+    "TPU_CHIPS_PER_PROCESS_BOUNDS=1,1,1",
+    "TPU_PROCESS_BOUNDS=1,1,1",
+)
+
+
+def _chip_env(templates, chip: int) -> Dict[str, str]:
+    env = {}
+    for t in templates:
+        var, _, val = t.partition("=")
+        env[var] = val.format(chip=chip)
+    return env
+
+
 def run(args) -> int:
-    if args.max_concurrent > 1:
+    n_chips = args.chips if args.chips is not None else _visible_tpu_devices()
+    isolate = n_chips is not None and n_chips >= 2
+    if isolate and args.max_concurrent > n_chips:
+        print(
+            f"[pod-runner] capping --max-concurrent={args.max_concurrent} to "
+            f"{n_chips} (one job per chip; TPU processes cannot share a chip)"
+        )
+        args.max_concurrent = n_chips
+    elif not isolate and args.max_concurrent > 1:
         # TPU processes cannot share a chip: concurrent encoders on one
         # device serialize unpredictably (and on tunneled fabrics contend
         # for the claim). Warn unless the host clearly has enough devices.
-        n_dev = _visible_tpu_devices()
-        if n_dev is not None and n_dev < args.max_concurrent:
+        if n_chips is not None and n_chips < args.max_concurrent:
             print(
                 f"[pod-runner] WARNING: --max-concurrent={args.max_concurrent} "
-                f"but only {n_dev} TPU device(s) visible; concurrent shard "
+                f"but only {n_chips} TPU device(s) visible; concurrent shard "
                 "processes will contend for the same chip and serialize. "
                 "Use 1 process per chip (or CPU-only stages) instead."
             )
     with open(args.shard_list) as f:
         shards = [line.strip() for line in f if line.strip() and not line.startswith("#")]
     os.makedirs(args.log_dir, exist_ok=True)
-    jobs = {s: pid for s, pid in _load_jobs(args.run_dir).items() if _alive(pid)}
+    jobs = {s: j for s, j in _load_jobs(args.run_dir).items() if _alive(j["pid"])}
     launched = skipped = 0
     procs: Dict[str, subprocess.Popen] = {}
 
@@ -113,17 +150,27 @@ def run(args) -> int:
                 _save_jobs(args.run_dir, jobs)
         # adopted jobs (still-alive pids from a previous run) count toward
         # the concurrency cap too — a rerun must not oversubscribe the chip
-        for s, pid in list(jobs.items()):
-            if s not in procs and not _alive(pid):
+        for s, j in list(jobs.items()):
+            if s not in procs and not _alive(j["pid"]):
                 jobs.pop(s, None)
                 _save_jobs(args.run_dir, jobs)
 
     def active() -> int:
         return len(procs) + sum(1 for s in jobs if s not in procs)
 
+    def free_chip() -> int:
+        # lowest chip index not held by a live or adopted job (adopted jobs
+        # with an unknown chip conservatively block nothing — their v1
+        # registry predates isolation)
+        used = {j["chip"] for j in jobs.values() if j["chip"] is not None}
+        for c in range(n_chips):
+            if c not in used:
+                return c
+        raise RuntimeError("no free chip despite concurrency cap")  # pragma: no cover
+
     for shard in shards:
         if shard in jobs:  # skip-if-queued
-            print(f"[pod-runner] {shard}: already running (pid {jobs[shard]})")
+            print(f"[pod-runner] {shard}: already running (pid {jobs[shard]['pid']})")
             skipped += 1
             continue
         if args.progress_dir and shard_completed(args.progress_dir, shard):
@@ -136,12 +183,18 @@ def run(args) -> int:
         cmd = [c.replace("{shard}", shard) for c in args.cmd]
         log_path = os.path.join(args.log_dir, f"{shard}.log")
         log_f = open(log_path, "a")
-        p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT)
+        chip = None
+        env = None
+        if isolate:
+            chip = free_chip()
+            env = {**os.environ, **_chip_env(args.chip_env, chip)}
+        p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT, env=env)
         log_handles[shard] = log_f
         procs[shard] = p
-        jobs[shard] = p.pid
+        jobs[shard] = {"pid": p.pid, "chip": chip}
         _save_jobs(args.run_dir, jobs)
-        print(f"[pod-runner] launched {shard} (pid {p.pid}) -> {log_path}")
+        where = f" on chip {chip}" if chip is not None else ""
+        print(f"[pod-runner] launched {shard} (pid {p.pid}){where} -> {log_path}")
         launched += 1
 
     rc = 0
@@ -156,11 +209,11 @@ def run(args) -> int:
 def cancel(args) -> int:
     jobs = _load_jobs(args.run_dir)
     killed = 0
-    for shard, pid in jobs.items():
-        if _alive(pid):
-            print(f"[pod-runner] killing {shard} (pid {pid})")
+    for shard, j in jobs.items():
+        if _alive(j["pid"]):
+            print(f"[pod-runner] killing {shard} (pid {j['pid']})")
             try:
-                os.kill(pid, signal.SIGTERM)
+                os.kill(j["pid"], signal.SIGTERM)
                 killed += 1
             except ProcessLookupError:
                 pass
@@ -168,10 +221,10 @@ def cancel(args) -> int:
     # them immediately would let a concurrent `run` miss skip-if-queued and
     # launch a duplicate onto the same progress file/chip
     deadline = time.time() + 10.0
-    while time.time() < deadline and any(_alive(p) for p in jobs.values()):
+    while time.time() < deadline and any(_alive(j["pid"]) for j in jobs.values()):
         time.sleep(0.2)
-    _save_jobs(args.run_dir, {s: p for s, p in jobs.items() if _alive(p)})
-    still = sum(1 for p in jobs.values() if _alive(p))
+    _save_jobs(args.run_dir, {s: j for s, j in jobs.items() if _alive(j["pid"])})
+    still = sum(1 for j in jobs.values() if _alive(j["pid"]))
     print(f"[pod-runner] killed {killed} jobs" + (f" ({still} still exiting, kept in registry)" if still else ""))
     return 0
 
@@ -187,6 +240,22 @@ def main(argv=None):
     r.add_argument("--run-dir", default="/tmp/ta_pod")
     r.add_argument("--log-dir", default="/tmp/ta_pod/logs")
     r.add_argument("--progress-dir", default=None)
+    r.add_argument(
+        "--chips",
+        type=int,
+        default=None,
+        help="TPU chips on this host (default: auto-detect via "
+        "TOKENIZE_AUDIO_TPU_DEVICES or /dev/accel*; 0/1 disables per-chip "
+        "isolation). With >=2 chips every job gets an exclusive chip via "
+        "--chip-env and the throttle is capped at the chip count.",
+    )
+    r.add_argument(
+        "--chip-env",
+        action="append",
+        default=None,
+        help="VAR={chip} env template injected per job (repeatable; "
+        f"default: {' '.join(DEFAULT_CHIP_ENV)})",
+    )
     r.add_argument("--wait", action="store_true")
     r.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="command template after '--'; {shard} is substituted")
@@ -198,6 +267,8 @@ def main(argv=None):
     if args.action == "run":
         if args.cmd and args.cmd[0] == "--":
             args.cmd = args.cmd[1:]
+        if args.chip_env is None:
+            args.chip_env = list(DEFAULT_CHIP_ENV)
         return run(args)
     return cancel(args)
 

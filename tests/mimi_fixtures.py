@@ -33,6 +33,30 @@ def make_oracle(hf_cfg=None, seed: int = 0):
     return model, params_from_torch_model(model), config_from_hf(hf_cfg)
 
 
+def tiny_jax_config(**overrides):
+    """tiny_hf_config's dims as a pure MimiConfig — torch-free, for
+    subprocesses (e.g. the multi-process DP children) that must not pay
+    the oracle build."""
+    from tokenize_audio_tpu.mimi import MimiConfig
+
+    kw = dict(
+        num_filters=8,
+        hidden_size=32,
+        num_hidden_layers=2,
+        intermediate_size=64,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=8,
+        codebook_size=64,
+        codebook_dim=16,
+        vector_quantization_hidden_dimension=16,
+        num_quantizers=12,
+        upsample_groups=32,
+    )
+    kw.update(overrides)
+    return MimiConfig(**kw)
+
+
 def tiny_hf_config(**overrides):
     """A fast CPU-testable Mimi: same 1920-sample frame, tiny widths."""
     from transformers import MimiConfig as HFMimiConfig

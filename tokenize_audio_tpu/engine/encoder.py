@@ -118,7 +118,10 @@ class MimiEncoderEngine:
                 "'padded' with a mesh"
             )
         self._batch_sharding = None
+        self._multiprocess = False
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from tokenize_audio_tpu.parallel.mesh import batch_sharding, replicate_params
 
             dp = mesh.shape.get("data", 1)
@@ -130,6 +133,18 @@ class MimiEncoderEngine:
             params = _prune_for_encode(params, self.num_codebooks)
             params = replicate_params(params, mesh)
             self._batch_sharding = batch_sharding(mesh)
+            # multi-process slice DP (parallel/multihost.py): every process
+            # calls encode_batch with the SAME utterance list (deterministic
+            # planning keeps the collective program launches SPMD-
+            # consistent); each uploads only its own row span, and results
+            # all-gather back over the mesh so every host returns the full
+            # code list. Codes are ~200 B/s-of-audio, so the gather is
+            # negligible next to the audio upload it avoids replicating.
+            self._multiprocess = jax.process_count() > 1
+            if self._multiprocess:
+                self._gather = jax.jit(
+                    lambda x: x, out_shardings=NamedSharding(mesh, P())
+                )
         else:
             # place params on device once; passing host numpy params would
             # re-transfer ~80 MB of weights on every encode call. Pruning
@@ -157,7 +172,18 @@ class MimiEncoderEngine:
         return self._bucket_cache[key]
 
     def _device_batch(self, batch: np.ndarray, lengths: np.ndarray):
-        if self._batch_sharding is not None:
+        if self._multiprocess:
+            # each process uploads ONLY its span of the (identically
+            # planned) global batch; no audio bytes cross hosts
+            from tokenize_audio_tpu.parallel.multihost import (
+                host_local_to_global,
+                process_span,
+            )
+
+            s, e = process_span(batch.shape[0])
+            b = host_local_to_global(batch[s:e], self.mesh)
+            v = host_local_to_global(lengths[s:e], self.mesh)
+        elif self._batch_sharding is not None:
             # device_put straight from numpy with the sharding: asarray()
             # first would commit to the default device and reshard — two
             # transfers of every batch on the hot path
@@ -230,6 +256,11 @@ class MimiEncoderEngine:
                 while n_pad < total:
                     n_pad *= 2
                 codes = _take_prefix(codes, min(n_pad, cap))
+            if self._multiprocess:
+                # all-gather the sharded codes over the mesh now (an SPMD-
+                # consistent collective every process dispatches), so
+                # _collect reads a fully-addressable array
+                codes = self._gather(codes)
             # queue the device->host copy now: it starts the moment compute
             # finishes, overlapping with collection of earlier batches
             # instead of serializing behind it (transport-bound fabrics)

@@ -15,6 +15,17 @@ Under a multi-process runtime each host feeds its own rows
 (``host_local_to_global`` assembles the global sharded batch without any
 cross-host copy of audio data) and reads back only its addressable rows —
 codes never cross DCN; only XLA's ICI collectives run inside the step.
+
+The engine's multiprocess branch (``MimiEncoderEngine._device_batch``)
+builds on these helpers with one deliberate difference: every process
+passes the same full utterance list (keeping the collective program
+launches SPMD-consistent), uploads only its own row span, and the tiny
+code arrays all-gather back so every host returns the full result.
+
+Exercised FOR REAL — 2 processes x 2 virtual CPU devices under
+``jax.distributed`` — by tests/test_multiprocess_dp.py: both the raw
+helpers path and the engine branch are pinned bit-equal to a
+single-process encode.
 """
 
 from __future__ import annotations

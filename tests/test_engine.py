@@ -415,6 +415,44 @@ def test_packed_transfer_rejects_odd_codebooks(tiny_oracle):
         )
 
 
+def test_stream_policy_multiplexes_batch(tiny_oracle, rng):
+    """Several >cap utterances in one call share one batched streaming
+    encoder (per-row ends), with codes equal to each utterance's one-shot
+    encode — and short rows still ride the bucketed path."""
+    import jax.numpy as jnp
+
+    from tokenize_audio_tpu.mimi.model import encode as raw_encode
+
+    _, params, cfg = tiny_oracle
+    spf = 1920
+    eng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(
+            batch_size=2,
+            min_bucket_seconds=0.25,
+            max_chunk_seconds=4 * spf / 24_000,
+            long_audio_policy="stream",
+        ),
+    )
+    longs = [
+        (rng.standard_normal(n) * 0.3).astype(np.float32)
+        for n in (9 * spf, 6 * spf + 500, 13 * spf)
+    ]
+    short = (rng.standard_normal(2 * spf) * 0.3).astype(np.float32)
+    got = eng.encode_batch([longs[0], short, longs[1], longs[2]])
+    assert set(eng._stream_encoders) == {4}  # one batch-4 encoder, not 3 serial
+    for a, g in zip([longs[0], short, longs[1], longs[2]], got):
+        n = len(a)
+        pad = -(-n // spf) * spf - n
+        ref, v = raw_encode(
+            params, cfg, jnp.asarray(np.pad(a, (0, pad))[None]), jnp.asarray([n])
+        )
+        ref = np.asarray(ref)[0, :, : int(np.asarray(v)[0])]
+        assert g.shape == ref.shape
+        assert (g == ref).all()
+
+
 def test_engine_windowed_mode(tiny_oracle, rng):
     """cfg.use_sliding_window=True flows through the bucketed engine:
     per-utterance codes equal the direct windowed encode."""

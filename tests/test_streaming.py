@@ -64,6 +64,47 @@ def test_stream_incremental_push(tiny_oracle, rng):
     assert (again == parts[0][0]).all()
 
 
+def test_encode_streams_multiplexed_bit_equal(tiny_oracle, rng):
+    """Batched multiplexing of variable-length streams == serial
+    encode_stream of each, bit for bit — including rows that end mid-batch
+    (per-row valid), a zero-length row, and ragged tails."""
+    _, params, cfg = tiny_oracle
+    lens = [12 * SPF, 3 * SPF + 700, 5 * SPF, 0]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lens]
+    enc = StreamingMimiEncoder(params, cfg, batch=4, chunk_seconds=2 * SPF / 24_000)
+    got = enc.encode_streams(audios)
+    serial = StreamingMimiEncoder(params, cfg, batch=1, chunk_seconds=2 * SPF / 24_000)
+    for a, g in zip(audios, got):
+        ref = serial.encode_stream(a)
+        assert g.shape == ref.shape
+        assert (g == ref).all()
+
+
+def test_encode_streams_horizon_cut_matches_serial_pieces(tiny_oracle, rng):
+    """Streams beyond the KV horizon reset at the same whole-chunk boundary
+    the serial piece loop cuts at: batched == piece-wise serial encode."""
+    _, params, cfg = tiny_oracle
+    chunk_s = 2 * SPF / 24_000
+    max_s = 5 * SPF / 24_000  # horizon floors to 2 chunks (4 frames)
+    enc = StreamingMimiEncoder(
+        params, cfg, batch=2, chunk_seconds=chunk_s, max_seconds=max_s
+    )
+    lens = [11 * SPF + 300, 6 * SPF]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lens]
+    got = enc.encode_streams(audios)
+    serial = StreamingMimiEncoder(
+        params, cfg, batch=1, chunk_seconds=chunk_s, max_seconds=max_s
+    )
+    horizon = (enc.max_frames_25 * SPF // 2) // enc.chunk_samples * enc.chunk_samples
+    for a, g in zip(audios, got):
+        parts = [
+            serial.encode_stream(a[s : s + horizon]) for s in range(0, len(a), horizon)
+        ]
+        ref = np.concatenate(parts, axis=1)
+        assert g.shape == ref.shape
+        assert (g == ref).all()
+
+
 def test_kv_capacity_guard(tiny_oracle):
     _, params, cfg = tiny_oracle
     enc = StreamingMimiEncoder(

@@ -83,6 +83,11 @@ class EngineConfig:
     #              fallback applies at that much larger boundary
     long_audio_policy: str = "split"
     stream_max_seconds: float = 320.0  # HF one-shot horizon (8000 positions @25 Hz)
+    # max >cap utterances multiplexed through ONE carried-state streaming
+    # encoder (per-row valid ends; mimi/streaming.py encode_streams) — a
+    # shard of K long videos streams in ~1/K the step dispatches. Each row
+    # of a full-causal 320 s KV cache is ~131 MB f32, so 8 rows ~1 GB.
+    stream_batch: int = 8
     # device->host dtype for fetched codes. uint16 is lossless (codebook
     # 2048) and halves bytes on the wire, but on the axon-tunnel v5e the
     # within-process A/B (scripts/fetch_dtype_probe.py) showed int32 wins

@@ -248,14 +248,17 @@ class MimiEncoderEngine:
             bucket_frames = bs * int(-(-bucket // (spf if resample_arg is None
                                                   else spf * down // up)))
             if fmt == "compact":
-                # fetch only the valid-frame prefix, padded to a power of
-                # two (bounded program set for _take_prefix)
+                # fetch only the valid-frame prefix, padded UP to a
+                # 16-step lattice of the buffer size: <=16 compiled
+                # _take_prefix variants per buffer shape and <=1/16
+                # overfetch. (Power-of-two padding would overshoot to the
+                # FULL buffer whenever valid frames exceed half of it —
+                # i.e. at any realistic bucket efficiency.)
                 total = int(frames.sum())
                 cap = codes.shape[0]
-                n_pad = 1
-                while n_pad < total:
-                    n_pad *= 2
-                codes = _take_prefix(codes, min(n_pad, cap))
+                step = max(1, cap // 16)
+                n_pad = min(cap, -(-total // step) * step)
+                codes = _take_prefix(codes, n_pad)
             if self._multiprocess:
                 # all-gather the sharded codes over the mesh now (an SPMD-
                 # consistent collective every process dispatches), so

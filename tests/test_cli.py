@@ -19,6 +19,31 @@ def test_info(tmp_path, rng, capsys):
     assert out["frames_at_12_5hz"] == 7
 
 
+def test_engine_from_args_flag_plumbing(rng):
+    """The shared engine flags reach the configs they claim to control."""
+    import argparse
+
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    args = ap.parse_args(
+        [
+            "--precision", "high",
+            "--growth", "1.15",
+            "--code-transfer-format", "packed",
+            "--batch-size", "4",
+        ]
+    )
+    eng = engine_from_args(args)
+    assert eng.cfg.matmul_precision == "high"
+    assert eng.engine_cfg.bucket_growth == 1.15
+    assert eng.engine_cfg.code_transfer_format == "packed"
+    # and the engine actually encodes with that combination
+    codes = eng.encode_batch([(rng.standard_normal(2000) * 0.3).astype(np.float32)])
+    assert codes[0].shape == (8, 2)
+
+
 def test_encode_decode_roundtrip(tmp_path, rng, monkeypatch, capsys):
     # patch the param loader so the CLI runs the tiny oracle
     import tokenize_audio_tpu.__main__ as m

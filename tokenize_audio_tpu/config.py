@@ -102,14 +102,19 @@ class EngineConfig:
     #               words: half the bytes, zero-cost host unpack (a
     #               little-endian view), no sub-word dtype on the wire.
     #   "compact" — packed + valid frames gathered to the front on device;
-    #               the engine fetches only a power-of-two-padded prefix
-    #               sized from host-known frame counts, so bucket pad and
-    #               row pad never cross the wire (~2.6x fewer fetch bytes
-    #               at bucket_efficiency 0.76). Requires masked mode;
-    #               not supported under a mesh (the compaction cumsum
-    #               would gather across devices).
-    # Decided by within-process interleaved A/B (scripts/fetch_pack_probe.py).
-    code_transfer_format: str = "padded"
+    #               the engine fetches only a 16-step-lattice prefix sized
+    #               from host-known frame counts, so bucket pad and row
+    #               pad never cross the wire (~2.6x fewer fetch bytes at
+    #               bucket_efficiency 0.76). Requires masked mode; not
+    #               supported under a mesh (the compaction cumsum would
+    #               gather across devices).
+    # Decided by within-process interleaved A/B (scripts/fetch_pack_probe.py,
+    # tunneled v5e, 5 rounds): packed median 669x (spread 659-672) vs
+    # padded 640x (596-660) vs compact 607x — compact fetches the fewest
+    # bytes (0.78 s vs 1.43 s) but its extra per-batch prefix dispatch
+    # costs ~2x the savings on a latency-bound tunnel. Re-probe per
+    # fabric: on local-PCIe fabrics compact's byte savings should win.
+    code_transfer_format: str = "packed"
 
     @property
     def max_chunk_samples(self) -> int:

@@ -41,7 +41,9 @@ def main():
     params = random_params(cfg, seed=0)
     ecfg = EngineConfig(
         min_bucket_seconds=2.0,
-        bucket_growth=1.45,  # 11 buckets; tail groups shrink to power-of-2 batches
+        bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23 tail
+        # ladder this sims at padding efficiency 0.85 vs 0.76 for the old
+        # growth-1.45 + pow2-tails config, same program count (NOTES r3)
         samples_per_batch=192 * 24_000,  # ~3.2 min of audio per device call; larger budgets measured slower (HBM pressure)
         max_batch_size=128,
     )

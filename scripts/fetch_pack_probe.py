@@ -9,7 +9,7 @@ at 32 bits per 11-bit code. Candidates (mimi.model.encode ``transfer``):
             little-endian view. Halves bytes; no sub-word dtype on the
             wire (raw uint16 lost end-to-end in r2, NOTES #4).
   compact — packed + valid frames gathered to the front on device; the
-            engine fetches a power-of-two-padded prefix only.
+            engine fetches a 16-step-lattice-padded prefix only.
 
 Measurement discipline (CLAUDE.md): one process, formats interleaved
 within every round, medians decide; cross-run numbers are +-40% noise.

@@ -92,6 +92,26 @@ def test_buckets_frame_aligned():
     assert bucket_for_length(10**9, buckets) == buckets[-1]
 
 
+def test_tail_ladder_batch_sizing():
+    """Tail groups size to the {1..8} + mantissa-{2,3}x2^k ladder: exact for
+    small groups, <=1.33x overshoot above (pow2's 2x gaps were eating the
+    fine-lattice bucket savings — NOTES r3), dp-divisible, capped at full."""
+    from tokenize_audio_tpu.config import EngineConfig
+
+    ecfg = EngineConfig(batch_size=96)
+    for n in range(1, 9):  # small groups: exact
+        assert ecfg.batch_size_for_group(1000, n) == n
+    assert ecfg.batch_size_for_group(1000, 9) == 12
+    assert ecfg.batch_size_for_group(1000, 13) == 16
+    assert ecfg.batch_size_for_group(1000, 17) == 24
+    assert ecfg.batch_size_for_group(1000, 49) == 64
+    assert ecfg.batch_size_for_group(1000, 70) == 96  # capped at full
+    assert ecfg.batch_size_for_group(1000, 200) == 96
+    # dp divisibility still honored
+    assert ecfg.batch_size_for_group(1000, 3, multiple_of=4) == 4
+    assert ecfg.batch_size_for_group(1000, 9, multiple_of=8) == 16
+
+
 def test_pad_to_bucket(rng):
     utts = [rng.standard_normal(n).astype(np.float32) for n in (100, 250)]
     batch, lengths = pad_to_bucket(utts, 300)

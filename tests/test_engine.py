@@ -407,12 +407,19 @@ def test_packed_transfer_under_mesh(tiny_oracle, rng):
         )
 
 
-def test_packed_transfer_rejects_odd_codebooks(tiny_oracle):
-    _, params, cfg = tiny_oracle
-    with pytest.raises(ValueError, match="even"):
-        MimiEncoderEngine(
-            params, cfg, EngineConfig(code_transfer_format="packed"), num_codebooks=7
-        )
+def test_packed_transfer_odd_codebooks_falls_back(tiny_oracle, rng):
+    """Pair packing needs even K, but an odd-codebook engine must keep
+    working under the packed DEFAULT — it falls back to padded (warning),
+    with codes matching an explicitly-padded engine."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(code_transfer_format="packed"), num_codebooks=7
+    )
+    assert eng.engine_cfg.code_transfer_format == "padded"
+    audio = (rng.standard_normal(4000) * 0.3).astype(np.float32)
+    got = eng.encode_chunk(audio)
+    assert got.shape == (7, 3)
+    assert (got == ref_codes(model, audio, k=7)).all()
 
 
 def test_stream_policy_multiplexes_batch(tiny_oracle, rng):

@@ -223,6 +223,49 @@ def test_pod_runner_single_chip_warning(tmp_path, capsys, monkeypatch):
     assert "contend for the same chip" in capsys.readouterr().out
 
 
+def test_pod_runner_unknown_chip_adoptee_blocks_isolated_launches(tmp_path, monkeypatch):
+    """An adopted job with an UNKNOWN chip (v1 registry / pre-isolation
+    launch) was started with no TPU_VISIBLE_DEVICES restriction — it holds
+    every chip — so isolated launches must wait for it, not grab 'free'
+    chips it is actually using."""
+    import subprocess
+    import threading
+    import time as _time
+
+    from tokenize_audio_tpu.runner.pod_runner import _save_jobs
+
+    monkeypatch.setenv("TOKENIZE_AUDIO_TPU_DEVICES", "2")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    adopted = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(1.2)"])
+    threading.Thread(target=adopted.wait, daemon=True).start()
+    _save_jobs(run_dir, {"s_old": adopted.pid})  # v1 bare-pid: chip unknown
+
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("s_new\n")
+    marker = tmp_path / "marker"
+    t0 = _time.perf_counter()
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list", str(shard_list),
+            "--max-concurrent", "2",  # a slot IS free — but no known chip
+            "--poll-seconds", "0.1",
+            "--run-dir", run_dir,
+            "--log-dir", str(tmp_path / "logs"),
+            "--wait",
+            "--",
+            sys.executable, "-c",
+            f"import os; open(r'{marker}','w').write(os.environ['TPU_VISIBLE_DEVICES'])",
+        ]
+    )
+    wall = _time.perf_counter() - t0
+    adopted.wait()
+    assert rc == 0
+    assert marker.read_text() in {"0", "1"}
+    assert wall >= 1.0, f"launched while an all-chip adoptee was alive ({wall:.2f}s)"
+
+
 def test_pod_runner_per_chip_isolation(tmp_path, monkeypatch):
     """On a multi-chip host every concurrent job gets an EXCLUSIVE chip via
     env (the reference's one-GPU-per-job Slurm isolation,

@@ -99,12 +99,14 @@ def extend_model_embeddings(
 
     def _extend(w: torch.Tensor) -> torch.Tensor:
         kept = w[:n_copy]
-        # mean in f32: a bf16 accumulation over 150k rows loses ~3 digits
-        mean = kept.float().mean(dim=0)
+        # mean in f32 (a bf16 accumulation over 150k rows loses ~3 digits),
+        # on CPU: `gen` is a CPU generator, so build the new rows there and
+        # move once — mixing a CUDA-resident mean with CPU noise would crash
+        mean = kept.float().mean(dim=0).cpu()
         noise = torch.randn(
             (new_vocab_size - n_copy, w.shape[1]), generator=gen, dtype=torch.float32
         ) * noise_std
-        new_rows = (mean[None, :] + noise).to(w.dtype)
+        new_rows = (mean[None, :] + noise).to(dtype=w.dtype, device=w.device)
         return torch.cat([kept, new_rows], dim=0)
 
     tied = getattr(model.config, "tie_word_embeddings", False)

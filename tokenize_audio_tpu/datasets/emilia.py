@@ -3,8 +3,9 @@
 Capability equivalent of ``emilia-mimi/process_shard.py`` (686 lines) and
 ``process_shard_conversational.py``: fetch ``{split}/{lang}/{shard}.tar``,
 extract audio+JSON metadata pairs with a completion marker (:351-405),
-accumulate-to-batch encode with an ``audio_str`` cache JSON saved every
-``cache_interval`` files for mid-shard resume (:231-268, :516-519), group
+accumulate-to-batch encode with an ``audio_str`` cache for mid-shard
+resume (the reference rewrites a full cache JSON every ``cache_interval``
+files, :231-268, :516-519; here it is an append-only JSONL), group
 utterances ``{LANG}_{Bshard}_{Sspeaker}_{Wutt}`` into per-speaker documents
 (:543-580), emit `_type1`+`_type2` rows (conversational: `[n]` speaker-turn
 tags by first appearance with ``speaker_ids``/``speaker_count`` columns and
@@ -198,8 +199,8 @@ class EmiliaShardProcessor:
             # the audio_str cache is APPEND-ONLY JSONL: every encoded batch
             # persists immediately at O(new) cost, where the reference's
             # periodic full-cache rewrite (process_shard.py:231-268) is
-            # O(total) per save — and loses up to cache_interval entries on
-            # a crash; here at most one batch re-encodes
+            # O(total) per save — and loses everything since the last
+            # periodic save on a crash; here at most one batch re-encodes
             if not batch:
                 return
             codes = self.engine.encode_batch([a for _, a, _ in batch])

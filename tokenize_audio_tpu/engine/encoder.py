@@ -22,6 +22,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import List, Optional, Sequence
@@ -48,8 +49,9 @@ from tokenize_audio_tpu.mimi.model import encode as mimi_encode
 @functools.partial(jax.jit, static_argnames=("n",))
 def _take_prefix(a: jax.Array, n: int) -> jax.Array:
     """First n rows of the compacted code buffer — the only bytes that
-    cross the wire in "compact" transfer. n is padded to a power of two so
-    the compiled-program set stays ~log2(rows) per buffer shape."""
+    cross the wire in "compact" transfer. The caller pads n up to a
+    16-step lattice of the buffer size (<=16 compiled variants per buffer
+    shape, <=1/16 overfetch; see _dispatch)."""
     return a[:n]
 
 
@@ -105,9 +107,20 @@ class MimiEncoderEngine:
         if fmt not in ("padded", "packed", "compact"):
             raise ValueError(f"unknown code_transfer_format {fmt!r}")
         if fmt != "padded" and self.num_codebooks % 2 != 0:
-            raise ValueError(
-                f"{fmt!r} transfer packs code pairs; num_codebooks "
-                f"{self.num_codebooks} must be even"
+            # pair packing needs even K; an odd-codebook engine (e.g.
+            # semantic-only K=1) must keep working under the packed
+            # DEFAULT, so fall back instead of raising
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "code_transfer_format=%r packs code pairs but num_codebooks "
+                "%d is odd; falling back to 'padded'",
+                fmt,
+                self.num_codebooks,
+            )
+            fmt = "padded"
+            self.engine_cfg = dataclasses.replace(
+                self.engine_cfg, code_transfer_format="padded"
             )
         if fmt == "compact" and not self.masked:
             raise ValueError("compact transfer requires masked=True")
@@ -202,10 +215,13 @@ class MimiEncoderEngine:
         budget_len: Optional[int] = None,
     ):
         """Pad one device batch and launch the (async) encode. Returns the
-        in-flight (codes, valid, n_real) device handles. ``resample_arg``
-        = static (up, down) for the fused on-device resample (rows are at
-        the source rate); ``budget_len`` is the POST-resample length used
-        for the activation-memory samples budget (defaults to bucket)."""
+        in-flight handle ``(codes_device, n_real, frames, bucket_frames)``
+        — per-row frame counts are HOST-computed (no device valid fetch),
+        and ``codes_device``'s layout depends on code_transfer_format.
+        ``resample_arg`` = static (up, down) for the fused on-device
+        resample (rows are at the source rate); ``budget_len`` is the
+        POST-resample length used for the activation-memory samples budget
+        (defaults to bucket)."""
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         group = list(utterances)
         n_real = len(group)
@@ -485,9 +501,11 @@ class MimiEncoderEngine:
         >= n_streams (bounded compiled-program set; unused rows ride along
         as zero-length streams). Exact long-audio encode: codes
         bit-identical to a one-shot encode of the whole stream (no 60 s
-        receptive-field cuts); streams beyond stream_max_seconds (the HF
-        one-shot horizon) are cut at THAT whole-chunk boundary inside
-        encode_streams and each piece streamed exactly."""
+        receptive-field cuts). Full-causal configs cut streams beyond
+        stream_max_seconds (the HF one-shot horizon) at that whole-chunk
+        boundary inside encode_streams, each piece streamed exactly;
+        windowed configs never cut (the ring cache matches windowed batch
+        encode at any length)."""
         from tokenize_audio_tpu.mimi.streaming import StreamingMimiEncoder
 
         b = 1

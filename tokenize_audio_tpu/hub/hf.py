@@ -172,14 +172,20 @@ class HFHub(ArtifactStore):
             )
             if os.path.islink(got):
                 # huggingface_hub < 0.23 could materialize local_dir entries
-                # as symlinks into the shared cache; moving the link would
-                # silently keep the duplicate cache copy this path exists to
-                # eliminate. Copy the real bytes out, then drop the cached
-                # blob the link pointed at.
-                target = os.path.realpath(got)
-                shutil.copyfile(target, local_path)
+                # as symlinks into the shared cache; moving the bare link
+                # would hand the caller a path whose bytes live in the cache
+                # (and dangle once the cache is pruned). Copy the real bytes
+                # out atomically (tmp + rename, same filesystem). The cache
+                # blob itself is left alone: it is SHARED state — the
+                # snapshot tree (and any dedup'd files) symlink the same
+                # blob, so deleting it would corrupt the cache for other
+                # consumers. The transient duplicate costs disk until the
+                # user prunes the cache; on the installed hub (>=0.23,
+                # local_dir=real files) this branch never runs.
+                tmp = f"{local_path}.cp.{os.getpid()}"
+                shutil.copyfile(os.path.realpath(got), tmp)
+                os.replace(tmp, local_path)
                 os.unlink(got)
-                os.unlink(target)
             else:
                 os.replace(got, local_path)
             return local_path

@@ -410,9 +410,14 @@ class StreamingMimiEncoder:
         continue; its later chunks carry valid=0 and emit 0 frames (the
         zero-input garbage in its caches is never read by a valid output —
         causal convs only look left, and emitted frames predate the end).
-        Streams beyond the KV horizon reset state at the same whole-chunk
-        boundary the serial path cuts at, giving identical per-piece exact
-        encoding.
+        Full-causal configs: streams beyond the KV horizon reset state at
+        the same whole-chunk boundary the serial piece loop cuts at,
+        giving identical per-piece exact encoding. Windowed configs
+        (``cfg.use_sliding_window``): NEVER reset — the bounded ring cache
+        means any length matches the windowed batch encode exactly, with
+        no horizon cuts (more exact than, and deliberately different
+        from, the pre-r3 serial engine path, which cut windowed streams
+        at the horizon too).
         """
         if len(audios) > self.batch:
             raise ValueError(f"{len(audios)} streams > batch {self.batch}")

@@ -158,15 +158,29 @@ def run(args) -> int:
     def active() -> int:
         return len(procs) + sum(1 for s in jobs if s not in procs)
 
-    def free_chip() -> int:
-        # lowest chip index not held by a live or adopted job (adopted jobs
-        # with an unknown chip conservatively block nothing — their v1
-        # registry predates isolation)
-        used = {j["chip"] for j in jobs.values() if j["chip"] is not None}
+    warned_unknown = set()
+
+    def free_chip():
+        # lowest chip index not held by a live or adopted job. An adopted
+        # job with an UNKNOWN chip (v1 registry, or launched without
+        # isolation) was started with no TPU_VISIBLE_DEVICES restriction —
+        # libtpu claims every chip — so it must block ALL launches until it
+        # exits, not zero of them.
+        unknown = [s for s, j in jobs.items() if j["chip"] is None]
+        if unknown:
+            if tuple(unknown) not in warned_unknown:
+                warned_unknown.add(tuple(unknown))
+                print(
+                    f"[pod-runner] adopted job(s) {unknown} hold an unknown "
+                    "chip set (pre-isolation launch claims every chip); "
+                    "waiting for them to exit before launching isolated jobs"
+                )
+            return None
+        used = {j["chip"] for j in jobs.values()}
         for c in range(n_chips):
             if c not in used:
                 return c
-        raise RuntimeError("no free chip despite concurrency cap")  # pragma: no cover
+        return None  # all chips busy (adopted jobs can exceed the cap)
 
     for shard in shards:
         if shard in jobs:  # skip-if-queued
@@ -177,16 +191,21 @@ def run(args) -> int:
             print(f"[pod-runner] {shard}: already completed")
             skipped += 1
             continue
-        while active() >= args.max_concurrent:
+        chip = None
+        while True:
             poll()
+            if active() < args.max_concurrent:
+                if not isolate:
+                    break
+                chip = free_chip()
+                if chip is not None:
+                    break
             time.sleep(args.poll_seconds)
         cmd = [c.replace("{shard}", shard) for c in args.cmd]
         log_path = os.path.join(args.log_dir, f"{shard}.log")
         log_f = open(log_path, "a")
-        chip = None
         env = None
         if isolate:
-            chip = free_chip()
             env = {**os.environ, **_chip_env(args.chip_env, chip)}
         p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT, env=env)
         log_handles[shard] = log_f

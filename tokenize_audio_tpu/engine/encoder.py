@@ -225,8 +225,9 @@ class MimiEncoderEngine:
         dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         group = list(utterances)
         n_real = len(group)
-        # static power-of-two batch size >= n_real (bounded program set per
-        # bucket, dp axis divides evenly, minimal padded-row waste)
+        # static tail-ladder batch size >= n_real (bounded program set per
+        # bucket, dp axis divides evenly, minimal padded-row waste — see
+        # EngineConfig.batch_size_for_group)
         bs = self.engine_cfg.batch_size_for_group(
             budget_len if budget_len is not None else bucket, n_real, multiple_of=dp
         )

@@ -61,6 +61,17 @@ def test_all_tag_problems_collected(rng):
     assert any("unmatched" in p for p in probs)
     assert any("unclosed" in p for p in probs)
 
+    # one stray close inside a correctly paired span counts as exactly ONE
+    # violation — the span's own legitimate close must not be orphaned
+    stray = (
+        "<|begin_of_text|>"
+        "<|audio_start|>" + span + "<|text_end|>" + "<|audio_end|>"
+        "<|end_of_text|>"
+    )
+    probs = validate_document(stray)
+    tag_probs = [p for p in probs if "matched" in p or "closed" in p or "nested" in p]
+    assert len(tag_probs) == 1 and "unmatched text_end" in tag_probs[0]
+
 
 def test_null_text_row_still_checked_for_duplicate_id(rng):
     span = make_span(rng)

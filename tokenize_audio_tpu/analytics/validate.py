@@ -60,8 +60,10 @@ def validate_document(
         elif tag in ("audio_end", "text_end"):
             want = tag.replace("_end", "_start")
             if not stack or stack[-1] != want:
+                # report the stray close but KEEP the open span: clearing
+                # would also orphan the span's legitimate close and count
+                # one corruption twice
                 problems.append(f"unmatched {tag} (offset {m.start()})")
-                stack.clear()
             else:
                 stack.pop()
     if stack:

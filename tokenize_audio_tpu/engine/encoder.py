@@ -107,15 +107,23 @@ class MimiEncoderEngine:
         if fmt not in ("padded", "packed", "compact"):
             raise ValueError(f"unknown code_transfer_format {fmt!r}")
         if fmt != "padded" and self.num_codebooks % 2 != 0:
+            if fmt == "compact":
+                # compact is always an explicit opt-in (the default is
+                # packed); silently downgrading a requested fetch
+                # optimization would hide in shard logs — refuse like the
+                # masked/mesh checks below do
+                raise ValueError(
+                    f"compact transfer packs code pairs; num_codebooks "
+                    f"{self.num_codebooks} must be even"
+                )
             # pair packing needs even K; an odd-codebook engine (e.g.
             # semantic-only K=1) must keep working under the packed
             # DEFAULT, so fall back instead of raising
             import logging
 
             logging.getLogger(__name__).warning(
-                "code_transfer_format=%r packs code pairs but num_codebooks "
-                "%d is odd; falling back to 'padded'",
-                fmt,
+                "code_transfer_format='packed' packs code pairs but "
+                "num_codebooks %d is odd; falling back to 'padded'",
                 self.num_codebooks,
             )
             fmt = "padded"
@@ -509,9 +517,13 @@ class MimiEncoderEngine:
         encode at any length)."""
         from tokenize_audio_tpu.mimi.streaming import StreamingMimiEncoder
 
+        cap = self.engine_cfg.stream_batch
         b = 1
-        while b < min(n_streams, self.engine_cfg.stream_batch):
+        while b < min(n_streams, cap):
             b *= 2
+        b = min(b, cap)  # cap is a bound, not a rounding target: a non-
+        # power-of-two stream_batch must not balloon into the next power
+        # (full-causal KV is ~131 MB/row)
         cache = getattr(self, "_stream_encoders", None)
         if cache is None:
             cache = self._stream_encoders = {}

@@ -50,7 +50,15 @@ def matmul_precision(cfg: MimiConfig) -> jax.lax.Precision:
     """The f32 MXU emulation level for SEANet/transformer/downsample matmuls
     (MimiConfig.matmul_precision). RVQ stays HIGHEST regardless — it is
     argmin-adjacent and ~6% of compute."""
-    return _PRECISIONS[cfg.matmul_precision]
+    try:
+        return _PRECISIONS[cfg.matmul_precision]
+    except KeyError:
+        # a bare KeyError would surface mid-jit-trace with a JAX stack;
+        # name the field and the options instead
+        raise ValueError(
+            f"MimiConfig.matmul_precision {cfg.matmul_precision!r} not in "
+            f"{sorted(_PRECISIONS)}"
+        ) from None
 
 
 # ---------------------------------------------------------------------------

@@ -421,6 +421,7 @@ class StreamingMimiEncoder:
         """
         if len(audios) > self.batch:
             raise ValueError(f"{len(audios)} streams > batch {self.batch}")
+        audios = [np.asarray(a, dtype=np.float32) for a in audios]
         cs = self.chunk_samples
         spf = self.cfg.samples_per_frame
         lens = np.zeros(self.batch, dtype=np.int64)
@@ -430,9 +431,11 @@ class StreamingMimiEncoder:
                 np.zeros((self.num_quantizers, 0), dtype=np.int32) for _ in audios
             ]
         n_chunks = int(-(-lens.max() // cs))
-        padded = np.zeros((self.batch, n_chunks * cs), dtype=np.float32)
-        for i, a in enumerate(audios):
-            padded[i, : len(a)] = np.asarray(a, dtype=np.float32)
+        # per-chunk staging buffer only: materializing the whole
+        # (batch, longest) zero-padded matrix would multiply host memory by
+        # the batch width when one stream is much longer than the rest
+        # (e.g. one 2 h video among 10 min ones -> gigabytes of zeros)
+        chunk_buf = np.zeros((self.batch, cs), dtype=np.float32)
         # horizon cut at whole chunks (same boundary as the engine's serial
         # piece loop): every piece then fits the KV capacity even after the
         # final-chunk zero pad
@@ -448,11 +451,16 @@ class StreamingMimiEncoder:
                 self.reset()
             start = k * cs
             valid = np.clip(lens - start, 0, cs).astype(np.int32)
+            chunk_buf[:] = 0.0
+            for i, a in enumerate(audios):
+                v = int(valid[i])
+                if v:
+                    chunk_buf[i, :v] = a[start : start + v]
             codes, v12, self.state = stream_step(
                 self.params,
                 self.cfg,
                 self.state,
-                jnp.asarray(padded[:, start : start + cs]),
+                jnp.asarray(chunk_buf),
                 jnp.asarray(valid),
                 num_quantizers=self.num_quantizers,
             )

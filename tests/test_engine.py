@@ -460,6 +460,22 @@ def test_stream_policy_multiplexes_batch(tiny_oracle, rng):
         assert (g == ref).all()
 
 
+def test_engine_warmup(tiny_oracle, rng):
+    """warmup() precompiles one full-batch program per bucket, leaves the
+    stats clean, and the engine still encodes correctly afterwards."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=2.0)
+    )
+    n = eng.warmup()
+    assert n == len(eng.buckets) > 0
+    assert eng.stats.utterances == 0 and eng.stats.frames == 0
+    audio = (rng.standard_normal(5000) * 0.3).astype(np.float32)
+    assert (eng.encode_chunk(audio) == ref_codes(model, audio)).all()
+    # fused-resample lattice warms too
+    assert eng.warmup(sr=16_000) > 0
+
+
 def test_engine_windowed_mode(tiny_oracle, rng):
     """cfg.use_sliding_window=True flows through the bucketed engine:
     per-utterance codes equal the direct windowed encode."""

@@ -46,6 +46,14 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         "see config.py — 'compact' fetches only packed valid frames)",
     )
     ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="precompile the steady-state program set (one full-batch "
+        "encode per bucket) before processing — with the persistent "
+        "compile cache this is one-time per machine, so run it during "
+        "provisioning instead of paying compiles mid-shard",
+    )
+    ap.add_argument(
         "--long-audio-policy",
         default="split",
         choices=["split", "stream"],
@@ -89,4 +97,8 @@ def engine_from_args(
         long_audio_policy=getattr(args, "long_audio_policy", "split"),
         **engine_overrides,
     )
-    return MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)
+    engine = MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)
+    if getattr(args, "warmup", False):
+        n = engine.warmup()
+        logging.getLogger(__name__).info("warmed %d bucket programs", n)
+    return engine

@@ -538,6 +538,48 @@ class MimiEncoderEngine:
             )
         return cache[b]
 
+    def warmup(self, sr: int = 24_000) -> int:
+        """Precompile the steady-state program set: one full-batch encode
+        per bucket of the ``sr`` lattice (the fused-resample lattice when
+        sr != engine rate). With the persistent XLA compile cache this
+        front-loads the one-time-per-machine compile cost into
+        provisioning instead of the first production shard (first compile
+        through a tunnel can cost minutes per program; tail-ladder
+        variants still compile lazily on first use). Returns the number
+        of programs warmed."""
+        rate = self.engine_cfg.sample_rate
+        resample_arg = None
+        spf_io = self.cfg.samples_per_frame
+        domain_sr = rate
+        if sr != rate:
+            g = math.gcd(int(sr), int(rate))
+            up, down = rate // g, sr // g
+            if self.masked and (self.cfg.samples_per_frame * down) % up == 0:
+                resample_arg = (up, down)
+                spf_io = self.cfg.samples_per_frame * down // up
+                domain_sr = sr
+        buckets = self._buckets_for(domain_sr, spf_io)
+        handles = []
+        for bucket in buckets:
+            budget_len = (
+                bucket if resample_arg is None else bucket * resample_arg[0] // resample_arg[1]
+            )
+            bs = self.engine_cfg.batch_size_for_bucket(
+                budget_len,
+                multiple_of=self.mesh.shape.get("data", 1) if self.mesh else 1,
+            )
+            rows = [np.zeros(bucket, dtype=np.int16)] * bs
+            handles.append(
+                self._dispatch(rows, bucket, resample_arg, budget_len)
+            )
+            if len(handles) >= self.pipeline_depth:
+                self._collect(handles.pop(0))
+        for h in handles:
+            self._collect(h)
+        # warmup work must not pollute throughput metrics
+        self.stats = EngineStats()
+        return len(buckets)
+
     def encode_chunk(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
         """Single-utterance encode (reference encode_audio_chunk,
         yodas2-mimi/process_shard.py:197-220)."""

@@ -105,6 +105,8 @@ def main():
             "pass_x_realtime": [round(p, 1) for p in passes],
             "fused_16khz_x_realtime": round(rt16, 1),
             "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
+            "code_transfer_format": ecfg.code_transfer_format,
+            "bucket_growth": ecfg.bucket_growth,
             "stage_seconds": {
                 k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
             },

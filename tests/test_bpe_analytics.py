@@ -162,6 +162,22 @@ def test_analytics_count_and_estimate(tmp_path, rng):
     assert strat["en"]["estimated_total_tokens"] == 15
     assert strat["_total"]["estimated_total_tokens"] == 15
 
+    # resume: already-estimated groups are returned verbatim (not
+    # recomputed), and on_group fires only for the fresh ones — the
+    # per-group checkpoint grain behind the CLI's --output resume
+    sentinel = {"estimated_total_tokens": -1}
+    seen = []
+    result2 = est.estimate_hub_dataset(
+        hub,
+        group_depth=1,
+        sample_rows=100,
+        resume={"en": sentinel},
+        on_group=lambda k, s: seen.append(k),
+    )
+    assert result2["en"] is sentinel
+    assert seen == ["de"]
+    assert result2["de"] == result["de"]
+
 
 def test_range_reader_footer_only_counting(tmp_path, rng):
     """count_parquet_rows_remote reads only the footer: a few KB of ranged

@@ -43,6 +43,8 @@ class TokenEstimator:
         seed: int = 0,
         group_depth: int = 0,
         rows_distribution: Dict[str, int] | None = None,
+        resume: Dict[str, Dict] | None = None,
+        on_group=None,
     ) -> Dict[str, Dict]:
         """Per group: sample rows across files, mean tokens/row x total rows
         (estimate_tokens.py extrapolation).
@@ -57,7 +59,13 @@ class TokenEstimator:
         output) replaces footer counting with known totals — the stratified
         per-language mode (estimate_tokens_stratified.py:23-270, whose
         145-language table this framework GENERATES via
-        ``analytics.count_rows --group-depth N`` instead of hard-coding)."""
+        ``analytics.count_rows --group-depth N`` instead of hard-coding).
+
+        ``resume`` (a previous run's report) skips already-estimated
+        groups — the per-language resume grain of the reference's 145
+        fanned-out estimation jobs + check_token_estimation_progress.sh,
+        done in-process; ``on_group(key, stats)`` fires after each group
+        (the CLI uses it to checkpoint the output file)."""
         import pyarrow.parquet as pq
 
         rng = random.Random(seed)
@@ -74,6 +82,9 @@ class TokenEstimator:
                 for k, v in rows_distribution.items()
             }
         for key, gfiles in sorted(groups.items()):
+            if resume is not None and key in resume:
+                out[key] = resume[key]
+                continue
             total_rows = 0
             sampled_texts: List[str] = []
             per_file = max(1, sample_rows // len(gfiles))
@@ -104,6 +115,8 @@ class TokenEstimator:
                 "mean_tokens_per_row": round(mean, 2),
                 "estimated_total_tokens": int(mean * total_rows),
             }
+            if on_group is not None:
+                on_group(key, out[key])
         return out
 
     def stratified_estimate(
@@ -133,6 +146,12 @@ def main(argv=None):
     ap.add_argument("--group-depth", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--output",
+        help="write the report JSON here, checkpointed after every group "
+        "(atomic tmp+rename); an existing file resumes — finished groups "
+        "are skipped, so a killed long estimation continues where it died",
+    )
+    ap.add_argument(
         "--rows-distribution",
         help="JSON file of group -> rows (accepts analytics.count_rows "
         "output) for stratified extrapolation with known totals",
@@ -146,19 +165,34 @@ def main(argv=None):
 
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
     est = TokenEstimator(tok)
-    print(
-        json.dumps(
-            est.estimate_hub_dataset(
-                open_hub(args.hub),
-                args.prefix,
-                sample_rows=args.sample_rows,
-                seed=args.seed,
-                group_depth=args.group_depth,
-                rows_distribution=rows_dist,
-            ),
-            indent=1,
-        )
+    resume = None
+    on_group = None
+    if args.output:
+        import os
+
+        if os.path.exists(args.output):
+            with open(args.output) as f:
+                resume = json.load(f)
+        state = dict(resume or {})
+
+        def on_group(key, stats, _state=state, _path=args.output):
+            _state[key] = stats
+            tmp = f"{_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(_state, f, indent=1)
+            os.replace(tmp, _path)
+
+    report = est.estimate_hub_dataset(
+        open_hub(args.hub),
+        args.prefix,
+        sample_rows=args.sample_rows,
+        seed=args.seed,
+        group_depth=args.group_depth,
+        rows_distribution=rows_dist,
+        resume=resume,
+        on_group=on_group,
     )
+    print(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -91,6 +91,28 @@ def main():
         os.path.join(args.out, f"engine_p{args.process_id}.npz"),
         **{str(i): c for i, c in enumerate(got)},
     )
+
+    # stream policy under multiprocess: the per-process streaming encoder
+    # must materialize its local replica of the mesh-replicated params
+    # (no collectives run on this path)
+    spf = cfg.samples_per_frame
+    seng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(
+            batch_size=4,
+            min_bucket_seconds=0.25,
+            max_chunk_seconds=2 * spf / 24_000,
+            long_audio_policy="stream",
+        ),
+        mesh=mesh,
+    )
+    long_audio = full[0]  # 4*spf samples, > the 2-frame cap -> streams
+    np.save(
+        os.path.join(args.out, f"stream_p{args.process_id}.npy"),
+        seng.encode_batch([long_audio])[0],
+        allow_pickle=False,
+    )
     print(f"proc {args.process_id} ok", flush=True)
 
 

@@ -83,6 +83,17 @@ def test_helpers_path_bit_equal(child_outputs):
     assert (got == ref).all()
 
 
+def test_stream_policy_under_multiprocess(child_outputs):
+    """long_audio_policy='stream' in a multi-process engine: every process
+    streams locally from its replica and gets the one-shot-exact codes."""
+    _, _, ref = _reference()
+    for i in range(NPROC):
+        got = np.load(os.path.join(child_outputs, f"stream_p{i}.npy"))
+        # row 0 is full-length (valid == T == 4 frames); streamed must
+        # equal its one-shot codes exactly
+        assert (got == ref[0]).all()
+
+
 def test_engine_path_bit_equal(child_outputs):
     full, valid, ref = _reference()
     spf = tiny_jax_config().samples_per_frame

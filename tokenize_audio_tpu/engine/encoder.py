@@ -528,8 +528,20 @@ class MimiEncoderEngine:
         if cache is None:
             cache = self._stream_encoders = {}
         if b not in cache:
+            params = self.params
+            if self._multiprocess:
+                # streaming runs per process on its local default device
+                # (no collectives); replicated GLOBAL arrays span remote
+                # devices and cannot be device_put locally — materialize
+                # this process's replica first
+                params = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a.addressable_data(0))
+                    if isinstance(a, jax.Array)
+                    else a,
+                    params,
+                )
             cache[b] = StreamingMimiEncoder(
-                self.params,
+                params,
                 self.cfg,
                 batch=b,
                 chunk_seconds=min(8.0, self.engine_cfg.stream_max_seconds),

@@ -1,6 +1,7 @@
 """Top-level codec CLI (python -m tokenize_audio_tpu)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -42,6 +43,25 @@ def test_engine_from_args_flag_plumbing(rng):
     # and the engine actually encodes with that combination
     codes = eng.encode_batch([(rng.standard_normal(2000) * 0.3).astype(np.float32)])
     assert codes[0].shape == (8, 2)
+
+
+def test_profile_dir_captures_trace(tmp_path, rng):
+    import argparse
+    import glob
+
+    import jax
+
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    trace_dir = str(tmp_path / "trace")
+    args = ap.parse_args(["--profile-dir", trace_dir, "--batch-size", "1"])
+    eng = engine_from_args(args)
+    eng.encode_batch([(rng.standard_normal(2000) * 0.3).astype(np.float32)])
+    jax.profiler.stop_trace()  # the CLI registers this via atexit
+    found = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert found, f"no trace written under {trace_dir}"
 
 
 def test_encode_decode_roundtrip(tmp_path, rng, monkeypatch, capsys):

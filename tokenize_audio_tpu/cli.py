@@ -46,6 +46,13 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         "see config.py — 'compact' fetches only packed valid frames)",
     )
     ap.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a JAX profiler trace of the whole run into this "
+        "directory (view with XProf/TensorBoard) — the per-op tracing "
+        "facility the reference lacks entirely (SURVEY §5)",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="precompile the steady-state program set (one full-batch "
@@ -97,6 +104,20 @@ def engine_from_args(
         long_audio_policy=getattr(args, "long_audio_policy", "split"),
         **engine_overrides,
     )
+    if getattr(args, "profile_dir", None):
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
+        def _stop_trace():
+            try:
+                jax.profiler.stop_trace()
+            except RuntimeError:
+                pass  # already stopped explicitly
+
+        atexit.register(_stop_trace)
     engine = MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)
     if getattr(args, "warmup", False):
         n = engine.warmup()

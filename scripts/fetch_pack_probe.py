@@ -11,8 +11,9 @@ at 32 bits per 11-bit code. Candidates (mimi.model.encode ``transfer``):
   compact — packed + valid frames gathered to the front on device; the
             engine fetches a 16-step-lattice-padded prefix only.
 
-Measurement discipline (CLAUDE.md): one process, formats interleaved
-within every round, medians decide; cross-run numbers are +-40% noise.
+Measured r3 (5 rounds): packed median 669x > padded 640x > compact 607x
+on the tunnel — packed is the default; re-probe per fabric (compact's
+byte savings should win where per-dispatch latency is low).
 
 Usage: python scripts/fetch_pack_probe.py [--rounds 5] [--utts 192]
 """
@@ -20,11 +21,11 @@ Usage: python scripts/fetch_pack_probe.py [--rounds 5] [--utts 192]
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 
 def main():
@@ -36,9 +37,9 @@ def main():
 
     import jax
 
+    import probe_common
     from tokenize_audio_tpu.config import EngineConfig
     from tokenize_audio_tpu.engine import MimiEncoderEngine
-    from tokenize_audio_tpu.engine.metrics import EngineStats
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import random_params
     from tokenize_audio_tpu.utils import enable_compile_cache
@@ -62,47 +63,22 @@ def main():
         )
 
     engines = {f: engine(f) for f in ("padded", "packed", "compact")}
-
-    rng = np.random.default_rng(0)
-    lengths_s = np.clip(rng.lognormal(mean=1.9, sigma=0.8, size=args.utts), 0.8, 59.0)
-    audios = [
-        (rng.standard_normal(int(s * 24_000)) * 0.3 * 32767).astype(np.int16)
-        for s in lengths_s
-    ]
-    total_s = sum(len(a) for a in audios) / 24_000.0
+    audios, total_s = probe_common.bench_audios(args.utts)
     print(f"workload: {args.utts} utts / {total_s:.0f} s audio", flush=True)
-
-    ref = None
-    for name, eng in engines.items():  # warm + cross-check equality
-        got = eng.encode_batch(audios)
-        if ref is None:
-            ref = got
-        else:
-            assert all((a == b).all() for a, b in zip(ref, got)), name
+    probe_common.warm_and_check_equal(engines, audios)
     print("all formats bit-equal; timing ...", flush=True)
 
-    results = {f: [] for f in engines}
-    stages = {}
-    for r in range(args.rounds):
-        for name, eng in engines.items():
-            eng.stats = EngineStats()
-            t0 = time.perf_counter()
-            eng.encode_batch(audios)
-            wall = time.perf_counter() - t0
-            results[name].append(total_s / wall)
-            stages[name] = {k: round(v, 3) for k, v in eng.stats.stage_seconds.items()}
-        print(
-            f"round {r}: "
-            + "  ".join(f"{n}={results[n][-1]:.0f}x" for n in results),
-            flush=True,
-        )
-    report = {}
-    for name, xs in results.items():
-        report[name] = {
+    results, stages = probe_common.interleaved_rounds(
+        engines, audios, total_s, args.rounds
+    )
+    report = {
+        name: {
             "median_x_realtime": round(float(np.median(xs)), 1),
             "all": [round(x, 1) for x in xs],
             "last_round_stages": stages[name],
         }
+        for name, xs in results.items()
+    }
     print("RESULT " + json.dumps(report))
 
 

@@ -1,10 +1,11 @@
 """Interleaved A/B of bucket-lattice growth factors (VERDICT r2 #6).
 
-The r2 host simulation says growth 1.15 reaches padding efficiency 0.931
-vs 1.45's 0.828 — ~10% free throughput IF the engine can resolve it (the
-tunnel is transport-bound; the persistent compile cache makes the extra
-shapes one-time per machine). With the packed wire format landed, this
-probe measures whether the finer lattice is now worth it end to end.
+The r2 host simulation said growth 1.15 reaches padding efficiency 0.931
+vs 1.45's 0.828. Measured r3: the premise was wrong — measured
+bucket_efficiency stayed flat (0.762/0.770/0.774) because finer lattices
+shrink tail groups into the power-of-two row-padding gaps; the fix was
+the tail-size ladder in EngineConfig.batch_size_for_group, not the
+growth factor (NOTES r3, item 2b).
 
 One process, growths interleaved per round, medians decide (CLAUDE.md).
 
@@ -19,6 +20,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 
 def main():
@@ -30,9 +32,9 @@ def main():
 
     import jax
 
+    import probe_common
     from tokenize_audio_tpu.config import EngineConfig
     from tokenize_audio_tpu.engine import MimiEncoderEngine
-    from tokenize_audio_tpu.engine.metrics import EngineStats
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import random_params
     from tokenize_audio_tpu.utils import enable_compile_cache
@@ -56,14 +58,7 @@ def main():
         )
         for g in growths
     }
-
-    rng = np.random.default_rng(0)
-    lengths_s = np.clip(rng.lognormal(mean=1.9, sigma=0.8, size=args.utts), 0.8, 59.0)
-    audios = [
-        (rng.standard_normal(int(s * 24_000)) * 0.3 * 32767).astype(np.int16)
-        for s in lengths_s
-    ]
-    total_s = sum(len(a) for a in audios) / 24_000.0
+    audios, total_s = probe_common.bench_audios(args.utts)
     print(f"workload: {args.utts} utts / {total_s:.0f} s audio", flush=True)
 
     ref = None
@@ -78,24 +73,12 @@ def main():
             assert all((a == b).all() for a, b in zip(ref, got)), g
     print("all growths bit-equal; timing ...", flush=True)
 
-    results = {g: [] for g in engines}
-    eff = {}
-    for r in range(args.rounds):
-        for g, eng in engines.items():
-            eng.stats = EngineStats()
-            t0 = time.perf_counter()
-            eng.encode_batch(audios)
-            results[g].append(total_s / (time.perf_counter() - t0))
-            eff[g] = round(eng.stats.bucket_efficiency, 4)
-        print(
-            f"round {r}: " + "  ".join(f"g{g}={results[g][-1]:.0f}x" for g in results),
-            flush=True,
-        )
+    results, _ = probe_common.interleaved_rounds(engines, audios, total_s, args.rounds)
     report = {
         str(g): {
             "median_x_realtime": round(float(np.median(xs)), 1),
             "all": [round(x, 1) for x in xs],
-            "bucket_efficiency": eff[g],
+            "bucket_efficiency": round(engines[g].stats.bucket_efficiency, 4),
         }
         for g, xs in results.items()
     }

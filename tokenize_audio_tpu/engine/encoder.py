@@ -270,8 +270,10 @@ class MimiEncoderEngine:
                 resample=resample_arg,
                 transfer=fmt,
             )
-            bucket_frames = bs * int(-(-bucket // (spf if resample_arg is None
-                                                  else spf * down // up)))
+            # frames per padded row = bucket / samples-per-frame in the
+            # I/O domain (source-rate when the fused resample is active)
+            io_spf = spf if resample_arg is None else spf * down // up
+            bucket_frames = bs * int(-(-bucket // io_spf))
             if fmt == "compact":
                 # fetch only the valid-frame prefix, padded UP to a
                 # 16-step lattice of the buffer size: <=16 compiled
@@ -367,6 +369,22 @@ class MimiEncoderEngine:
     # public alias: normalize + resample to the engine sample rate
     prepare_audio = _prepare
 
+    def _resample_plan(self, sr: int):
+        """How audio at ``sr`` reaches the model: returns
+        (resample_arg, spf_io, domain_sr) where ``resample_arg`` is the
+        static (up, down) of the FUSED on-device resample (None = no fuse:
+        already at engine rate, exotic rate, or unmasked semantics),
+        ``spf_io`` the samples-per-frame in the I/O domain, and
+        ``domain_sr`` the rate bucketing/splitting run at. Shared by
+        encode_batch and warmup so the lattice/plan can never diverge."""
+        rate = self.engine_cfg.sample_rate
+        if sr != rate:
+            g = math.gcd(int(sr), int(rate))
+            up, down = rate // g, sr // g
+            if self.masked and (self.cfg.samples_per_frame * down) % up == 0:
+                return (up, down), self.cfg.samples_per_frame * down // up, sr
+        return None, self.cfg.samples_per_frame, rate
+
     # -- public API --------------------------------------------------------
 
     def encode_batch(
@@ -378,28 +396,21 @@ class MimiEncoderEngine:
         re-concatenated on the code time axis (or streamed exactly with
         long_audio_policy="stream")."""
         rate = self.engine_cfg.sample_rate
-        resample_arg = None
-        spf_io = self.cfg.samples_per_frame  # samples per frame in the I/O domain
-        domain_sr = rate
-        if sr != rate:
-            g = math.gcd(int(sr), int(rate))
-            up, down = rate // g, sr // g
-            if self.masked and (self.cfg.samples_per_frame * down) % up == 0:
-                # FUSED on-device resample: ship source-rate PCM (int16
-                # stays int16 — e.g. 16 kHz int16 is 6x fewer upload bytes
-                # than 24 kHz f32) and resample inside the encode program;
-                # bucketing/splitting run in source samples, frame-aligned
-                # via the integer source-samples-per-frame
-                resample_arg = (up, down)
-                spf_io = self.cfg.samples_per_frame * down // up
-                domain_sr = sr
-                prepared = [self._prepare_mono(a) for a in audios]
-            else:
-                # non-integer source frame (exotic rate) or unmasked HF
-                # semantics: batched device resample, then the 24 kHz path
-                raw = [self._prepare_mono(a) for a in audios]
-                with self.stats.stage("resample"):
-                    prepared = resample_many(raw, sr, rate)
+        resample_arg, spf_io, domain_sr = self._resample_plan(sr)
+        if resample_arg is not None:
+            # FUSED on-device resample: ship source-rate PCM (int16 stays
+            # int16 — e.g. 16 kHz int16 is 6x fewer upload bytes than
+            # 24 kHz f32) and resample inside the encode program;
+            # bucketing/splitting run in source samples, frame-aligned via
+            # the integer source-samples-per-frame
+            up, down = resample_arg
+            prepared = [self._prepare_mono(a) for a in audios]
+        elif sr != rate:
+            # non-integer source frame (exotic rate) or unmasked HF
+            # semantics: batched device resample, then the 24 kHz path
+            raw = [self._prepare_mono(a) for a in audios]
+            with self.stats.stage("resample"):
+                prepared = resample_many(raw, sr, rate)
         else:
             prepared = [self._prepare(a, sr) for a in audios]
         buckets = self._buckets_for(domain_sr, spf_io)
@@ -559,17 +570,7 @@ class MimiEncoderEngine:
         through a tunnel can cost minutes per program; tail-ladder
         variants still compile lazily on first use). Returns the number
         of programs warmed."""
-        rate = self.engine_cfg.sample_rate
-        resample_arg = None
-        spf_io = self.cfg.samples_per_frame
-        domain_sr = rate
-        if sr != rate:
-            g = math.gcd(int(sr), int(rate))
-            up, down = rate // g, sr // g
-            if self.masked and (self.cfg.samples_per_frame * down) % up == 0:
-                resample_arg = (up, down)
-                spf_io = self.cfg.samples_per_frame * down // up
-                domain_sr = sr
+        resample_arg, spf_io, domain_sr = self._resample_plan(sr)
         buckets = self._buckets_for(domain_sr, spf_io)
         handles = []
         for bucket in buckets:

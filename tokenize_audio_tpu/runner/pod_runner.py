@@ -48,7 +48,7 @@ def _load_jobs(run_dir: str) -> Dict[str, dict]:
     }
 
 
-def _save_jobs(run_dir: str, jobs: Dict[str, int]) -> None:
+def _save_jobs(run_dir: str, jobs: Dict[str, dict]) -> None:
     os.makedirs(run_dir, exist_ok=True)
     with open(_pidfile(run_dir), "w") as f:
         json.dump(jobs, f)

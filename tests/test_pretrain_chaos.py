@@ -1,0 +1,112 @@
+"""SIGKILL chaos test for the pretrain converter — the repo's most
+intricate resume machinery (accumulation checkpoint + persisted parquet
+counter + orphan requeue + mark-after-upload). Kill the real CLI at
+arbitrary points, rerun it unchanged, and the UNION of uploaded rows must
+equal the clean run's: every id exactly once, with identical text.
+(File boundaries may legally differ across crash schedules; the row set
+may not.)
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from tokenize_audio_tpu.hub import LocalHub
+
+N_SUB = 8
+ENTRIES_PER = 60
+
+
+def build_source(tmp_path, rng):
+    """Synthetic YODAS2-stage output: {shard}/{sid}.json code files."""
+    hub = LocalHub(str(tmp_path / "src"))
+    for s in range(N_SUB):
+        sid = f"{s:08d}"
+        entries = []
+        for a in range(ENTRIES_PER):
+            aid = f"vid-{sid}-{a}"
+            codes = rng.integers(0, 2048, size=(8, 12)).tolist()
+            entries.append(
+                {
+                    "audio_id": aid,
+                    "text": {f"{aid}-00000-00000000-00000100": f"text {sid} {a}"},
+                    "codes": {f"{aid}-00000-00000000-00000100": codes},
+                }
+            )
+        p = tmp_path / "tmp.json"
+        p.write_text(json.dumps(entries))
+        hub.upload_file(str(p), f"en000/{sid}.json")  # CLI uses no source prefix
+    return str(tmp_path / "src")
+
+
+def run_cli(src, dst, work, prog, kill_after=None):
+    sids = ",".join(f"{s:08d}" for s in range(N_SUB))
+    p = subprocess.Popen(
+        [
+            sys.executable, "-m", "tokenize_audio_tpu.datasets.pretrain_converter",
+            "--shard-id", "en000",
+            "--subshard-ids", sids,
+            "--source-hub", f"dir:{src}",
+            "--target-hub", f"dir:{dst}",
+            "--work-dir", work,
+            "--progress-dir", prog,
+            "--parquet-rows", "100",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    if kill_after is not None:
+        time.sleep(kill_after)
+        if p.poll() is None:
+            os.kill(p.pid, signal.SIGKILL)
+            p.wait(timeout=30)
+            p.stdout.read()
+            return -9, ""
+    out, _ = p.communicate(timeout=300)
+    return p.returncode, out
+
+
+def uploaded_rows(dst):
+    from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
+
+    rows = {}
+    base = os.path.join(dst, "data")  # converter uploads flat data/{name}.parquet
+    for f in sorted(os.listdir(base)):
+        for r in read_parquet(os.path.join(base, f)):
+            assert r["id"] not in rows, f"duplicate id {r['id']} in {f}"
+            rows[r["id"]] = r["text"]
+    return rows
+
+
+@pytest.mark.slow
+def test_kill_anywhere_row_set_converges(tmp_path, rng):
+    src = build_source(tmp_path, rng)
+
+    rc, out = run_cli(src, str(tmp_path / "clean"), str(tmp_path / "cw"), str(tmp_path / "cp"))
+    assert rc == 0, out[-2000:]
+    ref = uploaded_rows(str(tmp_path / "clean"))
+    # 8 subshards x 60 entries x 2 row types, source prefix default ""
+    assert len(ref) == N_SUB * ENTRIES_PER * 2
+
+    dst, work, prog = (str(tmp_path / d) for d in ("chaos", "w", "p"))
+    kills = 0
+    for attempt in range(10):
+        delay = [0.8, 1.2, 1.6, 2.0, 2.5][min(attempt, 4)] if attempt < 6 else None
+        rc, out = run_cli(src, dst, work, prog, kill_after=delay)
+        if rc == 0:
+            break
+        kills += 1
+    assert rc == 0, f"never completed after {kills} kills"
+
+    got = uploaded_rows(dst)
+    assert set(got) == set(ref)
+    for rid, text in ref.items():
+        assert got[rid] == text, rid

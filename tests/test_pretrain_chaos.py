@@ -19,8 +19,9 @@ import pytest
 
 from tokenize_audio_tpu.hub import LocalHub
 
-N_SUB = 8
-ENTRIES_PER = 60
+N_SUB = 10
+ENTRIES_PER = 400  # enough rows that processing spans seconds: kills must
+# be able to land mid-work, not just during interpreter startup
 
 
 def build_source(tmp_path, rng):
@@ -97,14 +98,21 @@ def test_kill_anywhere_row_set_converges(tmp_path, rng):
     assert len(ref) == N_SUB * ENTRIES_PER * 2
 
     dst, work, prog = (str(tmp_path / d) for d in ("chaos", "w", "p"))
-    kills = 0
+    kills = midwork_kills = 0
     for attempt in range(10):
-        delay = [0.8, 1.2, 1.6, 2.0, 2.5][min(attempt, 4)] if attempt < 6 else None
+        delay = [2.0, 2.8, 3.6, 4.4, 5.2][min(attempt, 4)] if attempt < 6 else None
         rc, out = run_cli(src, dst, work, prog, kill_after=delay)
         if rc == 0:
             break
         kills += 1
+        # evidence the kill interrupted REAL work (state already on disk),
+        # i.e. the resume machinery is genuinely being exercised
+        if os.path.exists(os.path.join(prog, "pretrain_en000_progress.json")) or (
+            os.path.isdir(work) and os.listdir(work)
+        ):
+            midwork_kills += 1
     assert rc == 0, f"never completed after {kills} kills"
+    assert midwork_kills >= 1, "no kill ever landed after work started"
 
     got = uploaded_rows(dst)
     assert set(got) == set(ref)

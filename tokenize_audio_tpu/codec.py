@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-from tokenize_audio_tpu.config import CODEBOOK_SIZE, NUM_CODEBOOKS, UNICODE_OFFSET_LARGE, EngineConfig
+from tokenize_audio_tpu.config import NUM_CODEBOOKS, UNICODE_OFFSET_LARGE, EngineConfig
 from tokenize_audio_tpu.core.codes import chars_to_codes, codes_to_chars
 from tokenize_audio_tpu.engine import MimiEncoderEngine
 from tokenize_audio_tpu.mimi.config import MimiConfig

@@ -29,7 +29,6 @@ import unicodedata
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
 
 from tokenize_audio_tpu.config import CODEBOOK_SIZE, UNICODE_OFFSET_LARGE
 from tokenize_audio_tpu.core.codes import codes_to_chars

@@ -1,0 +1,101 @@
+"""SIGKILL chaos test for the Emilia processor: hard-kill mid-shard
+(download/extract/encode/cache/group/upload windows), rerun unchanged,
+and the uploaded parquet must equal an uninterrupted run's rows exactly —
+including utterance ORDER inside each speaker document (the sorted-uid
+determinism a resume bug once broke, NOTES r2)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import tarfile
+import time
+
+import numpy as np
+import pytest
+
+from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
+from tokenize_audio_tpu.hub import LocalHub
+from tokenize_audio_tpu.io import write_wav
+
+CHILD = os.path.join(os.path.dirname(__file__), "emilia_chaos_child.py")
+SR = 24_000
+
+
+def build_source(tmp_path, rng, speakers=6, utts_per=4):
+    """A bigger Emilia tar than test_emilia's: enough encode work that
+    kills can land mid-shard."""
+    shard = "EN_B00000"
+    src_dir = tmp_path / "tar_src"
+    src_dir.mkdir()
+    for spk in range(1, speakers + 1):
+        for w in range(utts_per):
+            uid = f"{shard}_S{spk:05d}_W{w:06d}"
+            audio = (rng.standard_normal(int(SR * 0.5)) * 0.2).astype(np.float32)
+            write_wav(str(src_dir / f"{uid}.wav"), audio, SR)
+            json.dump(
+                {"text": f"utt {spk}-{w}", "speaker": f"SPEAKER_{spk:02d}"},
+                open(src_dir / f"{uid}.json", "w"),
+            )
+    tar_path = tmp_path / f"{shard}.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        tf.add(src_dir, arcname=shard)
+    hub = LocalHub(str(tmp_path / "source_hub"))
+    hub.upload_file(str(tar_path), f"Emilia/EN/{shard}.tar")
+    return str(tmp_path / "source_hub")
+
+
+def run_child(src, dst, work, kill_after=None, timeout=600):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    p = subprocess.Popen(
+        [sys.executable, CHILD, src, dst, work],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    if kill_after is None:
+        out, _ = p.communicate(timeout=timeout)
+        return p.returncode, out
+    deadline = time.time() + timeout
+    line = ""
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "READY" in line or not line:
+            break
+    time.sleep(kill_after)
+    if p.poll() is None:
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait(timeout=30)
+        p.stdout.read()
+        return -9, ""
+    return p.returncode, line + p.stdout.read()
+
+
+def rows_of(dst):
+    rows = read_parquet(os.path.join(dst, "Emilia", "EN", "EN_B00000.parquet"))
+    return {r["id"]: r["text"] for r in rows}
+
+
+@pytest.mark.slow
+def test_kill_anywhere_rerun_converges(tmp_path, rng):
+    src = build_source(tmp_path, rng)
+
+    rc, out = run_child(src, str(tmp_path / "clean"), str(tmp_path / "cw"))
+    assert rc == 0 and "DONE" in out, out[-3000:]
+    ref = rows_of(str(tmp_path / "clean"))
+    assert len(ref) == 6 * 2  # speakers x (type1, type2)
+
+    dst, work = str(tmp_path / "chaos"), str(tmp_path / "w")
+    kills = 0
+    for attempt in range(8):
+        kill_after = [0.2, 0.8, 1.6, 3.0][min(attempt, 3)] if attempt < 4 else None
+        rc, out = run_child(src, dst, work, kill_after)
+        if rc == 0 and "DONE" in out:
+            break
+        kills += 1
+    assert rc == 0, f"never completed after {kills} kills"
+
+    got = rows_of(dst)
+    assert got == ref  # ids, texts, and in-document utterance order

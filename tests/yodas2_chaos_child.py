@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     mirror, work, prog, hubdir = sys.argv[1:5]
+    shard = sys.argv[5] if len(sys.argv) > 5 else "en000"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -34,7 +35,7 @@ def main():
         num_codebooks=12,
     )
     proc = Yodas2ShardProcessor(
-        "en000",
+        shard,
         LocalSource(mirror),
         LocalHub(hubdir),
         engine,

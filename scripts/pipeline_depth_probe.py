@@ -37,18 +37,20 @@ def main():
     ]
     total_s = sum(len(a) for a in audios) / 24_000.0
 
+    # r3 config (packed + ladder + growth 1.25) shrank per-batch bytes;
+    # re-probe whether a deeper in-flight window now pays (r2 medians:
+    # d2=364x, d4=422-445x, d8=478-485x on the padded format)
     variants = {}
-    for depth in (2, 4, 8):
-        for growth in (1.45, 1.25):
-            ecfg = EngineConfig(
-                min_bucket_seconds=2.0,
-                bucket_growth=growth,
-                samples_per_batch=192 * 24_000,
-                max_batch_size=128,
-            )
-            variants[f"d{depth}_g{growth}"] = MimiEncoderEngine(
-                params, cfg, ecfg, pipeline_depth=depth
-            )
+    for depth in (8, 12, 16):
+        ecfg = EngineConfig(
+            min_bucket_seconds=2.0,
+            bucket_growth=1.25,
+            samples_per_batch=192 * 24_000,
+            max_batch_size=128,
+        )
+        variants[f"d{depth}"] = MimiEncoderEngine(
+            params, cfg, ecfg, pipeline_depth=depth
+        )
 
     # warm every variant (compile + load)
     for name, eng in variants.items():

@@ -88,10 +88,12 @@ class MimiEncoderEngine:
         masked: bool = True,
         # in-flight device batches: bounds host+device memory while hiding
         # per-call sync latency. On the tunneled v5e, interleaved A/B
-        # (scripts/pipeline_depth_probe.py) medians: depth 2 = 364x,
-        # 4 = 422-445x, 8 = 478-485x — deeper wins ~30% end to end on
-        # transport-latency-bound fabrics; 8 batches is still <200 MB.
-        pipeline_depth: int = 8,
+        # (scripts/pipeline_depth_probe.py) medians: r2 (padded format)
+        # depth 2 = 364x, 4 = 422-445x, 8 = 478-485x; r3 re-probe on the
+        # packed format: 8 = 399x, 12 = 414x, 16 = 418x (overlapping
+        # ranges — a small monotonic edge consistent with the r2 trend).
+        # 12 in-flight batches is still <250 MB of device buffers.
+        pipeline_depth: int = 12,
     ):
         self.pipeline_depth = pipeline_depth
         self.cfg = cfg or MimiConfig()

@@ -460,6 +460,21 @@ def test_stream_policy_multiplexes_batch(tiny_oracle, rng):
         assert (g == ref).all()
 
 
+def test_engine_degenerate_inputs(tiny_oracle, rng):
+    """Production edges stay graceful: an empty batch (fully filtered
+    shard) returns [], a zero-length row (corrupt/empty wav) yields a
+    (K, 0) array without disturbing its batchmates."""
+    model, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=2.0)
+    )
+    assert eng.encode_batch([]) == []
+    audio = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    out = eng.encode_batch([np.zeros(0, dtype=np.float32), audio])
+    assert out[0].shape == (8, 0)
+    assert (out[1] == ref_codes(model, audio)).all()
+
+
 def test_engine_warmup(tiny_oracle, rng):
     """warmup() precompiles one full-batch program per bucket, leaves the
     stats clean, and the engine still encodes correctly afterwards."""

@@ -223,6 +223,27 @@ def test_pod_runner_single_chip_warning(tmp_path, capsys, monkeypatch):
     assert "contend for the same chip" in capsys.readouterr().out
 
 
+def test_pod_runner_status(tmp_path, capsys):
+    import subprocess
+    import threading
+
+    from tokenize_audio_tpu.runner.pod_runner import _save_jobs
+
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    live = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(5)"])
+    threading.Thread(target=live.wait, daemon=True).start()
+    _save_jobs(
+        run_dir,
+        {"s1": {"pid": live.pid, "chip": 2}, "s2": 99999999},  # v2 + v1 entries
+    )
+    assert pod_main(["status", "--run-dir", run_dir]) == 0
+    out = capsys.readouterr().out
+    assert f"s1\tpid={live.pid}\tchip=2\trunning" in out
+    assert "s2\tpid=99999999\tchip=-\tdead" in out
+    live.kill()
+
+
 def test_pod_runner_unknown_chip_adoptee_blocks_isolated_launches(tmp_path, monkeypatch):
     """An adopted job with an UNKNOWN chip (v1 registry / pre-isolation
     launch) was started with no TPU_VISIBLE_DEVICES restriction — it holds

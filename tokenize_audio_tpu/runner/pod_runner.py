@@ -225,6 +225,20 @@ def run(args) -> int:
     return rc
 
 
+def status(args) -> int:
+    """Print the job registry: shard, pid, chip, liveness (squeue's role
+    for the reference's Slurm jobs, over the pidfile registry)."""
+    jobs = _load_jobs(args.run_dir)
+    if not jobs:
+        print("[pod-runner] no registered jobs")
+        return 0
+    for shard, j in sorted(jobs.items()):
+        chip = j["chip"] if j["chip"] is not None else "-"
+        state = "running" if _alive(j["pid"]) else "dead"
+        print(f"{shard}\tpid={j['pid']}\tchip={chip}\t{state}")
+    return 0
+
+
 def cancel(args) -> int:
     jobs = _load_jobs(args.run_dir)
     killed = 0
@@ -282,6 +296,9 @@ def main(argv=None):
     c = sub.add_parser("cancel")
     c.add_argument("--run-dir", default="/tmp/ta_pod")
 
+    st = sub.add_parser("status")
+    st.add_argument("--run-dir", default="/tmp/ta_pod")
+
     args = ap.parse_args(argv)
     if args.action == "run":
         if args.cmd and args.cmd[0] == "--":
@@ -289,6 +306,8 @@ def main(argv=None):
         if args.chip_env is None:
             args.chip_env = list(DEFAULT_CHIP_ENV)
         return run(args)
+    if args.action == "status":
+        return status(args)
     return cancel(args)
 
 

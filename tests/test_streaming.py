@@ -140,6 +140,31 @@ def test_windowed_stream_equals_windowed_batch(rng):
     assert (got == ref).all()
 
 
+def test_windowed_encode_streams_never_resets(rng):
+    """Multiplexed windowed streams past the nominal max_seconds horizon:
+    no reset (the ring cache is bounded anyway) — every row equals its
+    windowed ONE-SHOT encode, unlike full-causal mode's horizon pieces."""
+    import dataclasses
+
+    _, params, cfg = make_oracle(
+        tiny_hf_config(layer_scale_initial_scale=1.0, initializer_range=0.1,
+                       sliding_window=4)
+    )
+    wcfg = dataclasses.replace(cfg, use_sliding_window=True)
+    enc = StreamingMimiEncoder(
+        params, wcfg, batch=2, chunk_seconds=3 * SPF / 24_000,
+        max_seconds=6 * SPF / 24_000,  # << stream length: would force a
+        # horizon cut in full-causal mode
+    )
+    lens = [24 * SPF, 9 * SPF + 500]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lens]
+    got = enc.encode_streams(audios)
+    for a, g in zip(audios, got):
+        ref = one_shot(params, wcfg, a)[0]
+        assert g.shape == ref.shape
+        assert (g == ref).all()
+
+
 def test_windowed_stream_ragged_tail(rng):
     import dataclasses
 

@@ -239,6 +239,21 @@ def test_engine_dp_mesh_equivalence(tiny_oracle, rng):
         assert (m == s).all()
 
 
+def test_engine_warmup_under_mesh(tiny_oracle, rng):
+    """warmup() dispatches dp-divisible full batches under a mesh and the
+    engine still matches the solo engine afterwards."""
+    _, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=8, min_bucket_seconds=0.5, max_chunk_seconds=2.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg, mesh=make_mesh(dp=8))
+    assert eng.warmup() == len(eng.buckets)
+    solo = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [
+        (rng.standard_normal(n) * 0.3).astype(np.float32) for n in (1000, 20000)
+    ] * 4
+    for m, s in zip(eng.encode_batch(audios), solo.encode_batch(audios)):
+        assert (m == s).all()
+
+
 def test_engine_mesh_batch_divisibility(tiny_oracle):
     _, params, cfg = tiny_oracle
     with pytest.raises(ValueError, match="divide evenly"):

@@ -504,6 +504,8 @@ def test_engine_warmup(tiny_oracle, rng):
     assert (eng.encode_chunk(audio) == ref_codes(model, audio)).all()
     # fused-resample lattice warms too
     assert eng.warmup(sr=16_000) > 0
+    # include_tails covers every ladder size (batch_size=2 -> sizes {1, 2})
+    assert eng.warmup(include_tails=True) == 2 * len(eng.buckets)
 
 
 def test_engine_windowed_mode(tiny_oracle, rng):

@@ -563,37 +563,46 @@ class MimiEncoderEngine:
             )
         return cache[b]
 
-    def warmup(self, sr: int = 24_000) -> int:
+    def warmup(self, sr: int = 24_000, include_tails: bool = False) -> int:
         """Precompile the steady-state program set: one full-batch encode
         per bucket of the ``sr`` lattice (the fused-resample lattice when
         sr != engine rate). With the persistent XLA compile cache this
         front-loads the one-time-per-machine compile cost into
         provisioning instead of the first production shard (first compile
-        through a tunnel can cost minutes per program; tail-ladder
-        variants still compile lazily on first use). Returns the number
-        of programs warmed."""
+        through a tunnel can cost minutes per program).
+
+        ``include_tails=True`` additionally compiles every tail-ladder
+        batch size per bucket (the programs partially-filled groups hit) —
+        the COMPLETE program set, ~10x the compiles; otherwise tails
+        compile lazily on first use. Returns the number of programs
+        warmed."""
         resample_arg, spf_io, domain_sr = self._resample_plan(sr)
         buckets = self._buckets_for(domain_sr, spf_io)
+        dp = self.mesh.shape.get("data", 1) if self.mesh else 1
         handles = []
+        warmed = 0
         for bucket in buckets:
             budget_len = (
                 bucket if resample_arg is None else bucket * resample_arg[0] // resample_arg[1]
             )
-            bs = self.engine_cfg.batch_size_for_bucket(
-                budget_len,
-                multiple_of=self.mesh.shape.get("data", 1) if self.mesh else 1,
-            )
-            rows = [np.zeros(bucket, dtype=np.int16)] * bs
-            handles.append(
-                self._dispatch(rows, bucket, resample_arg, budget_len)
-            )
-            if len(handles) >= self.pipeline_depth:
-                self._collect(handles.pop(0))
+            full = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=dp)
+            sizes = {full}
+            if include_tails:
+                sizes |= {
+                    self.engine_cfg.batch_size_for_group(budget_len, n, multiple_of=dp)
+                    for n in range(1, full + 1)
+                }
+            for bs in sorted(sizes):
+                rows = [np.zeros(bucket, dtype=np.int16)] * bs
+                handles.append(self._dispatch(rows, bucket, resample_arg, budget_len))
+                warmed += 1
+                if len(handles) >= self.pipeline_depth:
+                    self._collect(handles.pop(0))
         for h in handles:
             self._collect(h)
         # warmup work must not pollute throughput metrics
         self.stats = EngineStats()
-        return len(buckets)
+        return warmed
 
     def encode_chunk(self, audio: np.ndarray, sr: int = 24_000) -> np.ndarray:
         """Single-utterance encode (reference encode_audio_chunk,

@@ -28,14 +28,10 @@ def main():
     cfg = MimiConfig()
     params = random_params(cfg, seed=0)
 
-    rng = np.random.default_rng(0)
-    n_utts = 256
-    lengths_s = np.clip(rng.lognormal(mean=1.9, sigma=0.8, size=n_utts), 0.8, 59.0)
-    audios = [
-        (rng.standard_normal(int(s * 24_000)) * 0.3 * 32767).astype(np.int16)
-        for s in lengths_s
-    ]
-    total_s = sum(len(a) for a in audios) / 24_000.0
+    sys.path.insert(0, "scripts")
+    import probe_common
+
+    audios, total_s = probe_common.bench_audios(256)
 
     # r3 config (packed + ladder + growth 1.25) shrank per-batch bytes;
     # re-probe whether a deeper in-flight window now pays (r2 medians:

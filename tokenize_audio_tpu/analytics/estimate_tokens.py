@@ -68,7 +68,6 @@ class TokenEstimator:
         (the CLI uses it to checkpoint the output file)."""
         import pyarrow.parquet as pq
 
-        rng = random.Random(seed)
         files = [f for f in hub.list_files(prefix) if f.endswith(".parquet")]
         groups: Dict[str, List[str]] = {}
         for f in files:
@@ -85,6 +84,10 @@ class TokenEstimator:
             if resume is not None and key in resume:
                 out[key] = resume[key]
                 continue
+            # per-GROUP rng: resuming past finished groups must not shift
+            # later groups' draws, so a crash-resumed run samples exactly
+            # like an uninterrupted run with the same seed
+            rng = random.Random(f"{seed}/{key}")
             total_rows = 0
             sampled_texts: List[str] = []
             per_file = max(1, sample_rows // len(gfiles))
@@ -170,10 +173,29 @@ def main(argv=None):
     if args.output:
         import os
 
+        # the run's fingerprint: a resume file computed under different
+        # settings would silently return stale estimates, so refuse it
+        config = {
+            "hub": args.hub,
+            "prefix": args.prefix,
+            "tokenizer": args.tokenizer,
+            "sample_rows": args.sample_rows,
+            "group_depth": args.group_depth,
+            "seed": args.seed,
+            "rows_distribution": bool(rows_dist),
+        }
         if os.path.exists(args.output):
             with open(args.output) as f:
-                resume = json.load(f)
+                prior = json.load(f)
+            if prior.get("_config", config) != config:
+                raise SystemExit(
+                    f"{args.output} was produced with different settings "
+                    f"({prior.get('_config')} != {config}); delete it or "
+                    "pick another --output to avoid mixing stale estimates"
+                )
+            resume = {k: v for k, v in prior.items() if k != "_config"}
         state = dict(resume or {})
+        state["_config"] = config
 
         def on_group(key, stats, _state=state, _path=args.output):
             _state[key] = stats

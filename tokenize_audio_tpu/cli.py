@@ -120,6 +120,11 @@ def engine_from_args(
         atexit.register(_stop_trace)
     engine = MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)
     if getattr(args, "warmup", False):
-        n = engine.warmup()
+        # warm every standard corpus rate's lattice: 24 kHz (YODAS2/
+        # Emilia/LibriTTS), 16 kHz (LibriSpeech/MLS — the fused-resample
+        # SOURCE-rate lattice is a different program set), 48 kHz (Common
+        # Voice). Warming only 24 kHz would leave a 16 kHz shard paying
+        # every compile mid-run, defeating the flag.
+        n = sum(engine.warmup(sr=sr) for sr in (24_000, 16_000, 48_000))
         logging.getLogger(__name__).info("warmed %d bucket programs", n)
     return engine

@@ -546,13 +546,16 @@ class MimiEncoderEngine:
                 # streaming runs per process on its local default device
                 # (no collectives); replicated GLOBAL arrays span remote
                 # devices and cannot be device_put locally — materialize
-                # this process's replica first
-                params = jax.tree_util.tree_map(
-                    lambda a: np.asarray(a.addressable_data(0))
-                    if isinstance(a, jax.Array)
-                    else a,
-                    params,
-                )
+                # this process's replica ONCE (tens of MB of device->host
+                # transfer), shared by every stream-batch-size encoder
+                params = getattr(self, "_stream_host_params", None)
+                if params is None:
+                    params = self._stream_host_params = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a.addressable_data(0))
+                        if isinstance(a, jax.Array)
+                        else a,
+                        self.params,
+                    )
             cache[b] = StreamingMimiEncoder(
                 params,
                 self.cfg,
@@ -586,14 +589,21 @@ class MimiEncoderEngine:
                 bucket if resample_arg is None else bucket * resample_arg[0] // resample_arg[1]
             )
             full = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=dp)
-            sizes = {full}
+            # dispatch one REPRESENTATIVE group size per reachable program:
+            # _dispatch maps n_real through batch_size_for_group, so warming
+            # with the rounded batch size itself could re-round onto a
+            # different program when dp is not ladder-aligned
+            reps = {full: full}
             if include_tails:
-                sizes |= {
-                    self.engine_cfg.batch_size_for_group(budget_len, n, multiple_of=dp)
-                    for n in range(1, full + 1)
-                }
-            for bs in sorted(sizes):
-                rows = [np.zeros(bucket, dtype=np.int16)] * bs
+                for n in range(1, full + 1):
+                    reps.setdefault(
+                        self.engine_cfg.batch_size_for_group(
+                            budget_len, n, multiple_of=dp
+                        ),
+                        n,
+                    )
+            for n_rows in reps.values():
+                rows = [np.zeros(bucket, dtype=np.int16)] * n_rows
                 handles.append(self._dispatch(rows, bucket, resample_arg, budget_len))
                 warmed += 1
                 if len(handles) >= self.pipeline_depth:

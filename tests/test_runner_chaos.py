@@ -1,0 +1,109 @@
+"""SIGKILL chaos test for the ShardRunner-based processor families
+(SURVEY §4 implication (d)): the LibriSpeech chunked-train layout
+(chunk-level resume + batched uploads + the crash-between-upload-and-mark
+adoption window, librispeech-mimi/process_librispeech_train.py:123-176)
+and the parquet-corpus template (shard-grain skip-if-on-hub,
+libritts-r-mimi/process_libritts_r.py:318-327) are hard-killed at
+arbitrary moments, then simply rerun — and the final hub artifacts must
+equal an uninterrupted run's bit for bit. Reruns regroup the remaining
+work into different device batches, so this also re-exercises
+batch-composition independence of the codes.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
+
+CHILD = os.path.join(os.path.dirname(__file__), "runner_chaos_child.py")
+
+
+def _work_evidence(base):
+    """True once either family has produced progress or hub output."""
+    for d in ("ls_hub", "ls_prog", "pc_hub", "pc_prog"):
+        p = os.path.join(base, d)
+        if os.path.isdir(p) and any(os.scandir(p)):
+            return True
+    return False
+
+
+def _run_child(base, kill_after=None, timeout=600):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    p = subprocess.Popen(
+        [sys.executable, CHILD, base],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    if kill_after is None:
+        out, _ = p.communicate(timeout=timeout)
+        return p.returncode, out
+    deadline = time.time() + timeout
+    line = ""
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if "READY" in line or not line:
+            break
+    # arm the timer from the first evidence of WORK, not from READY —
+    # otherwise every kill can land in the post-READY compile window and
+    # the resume machinery is never actually exercised
+    while time.time() < deadline and p.poll() is None:
+        if _work_evidence(base):
+            break
+        time.sleep(0.05)
+    time.sleep(kill_after)
+    if p.poll() is None:
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait(timeout=30)
+        p.stdout.read()
+        return -9, ""
+    out = p.stdout.read()
+    return p.returncode, line + out
+
+
+def _hub_docs(base):
+    """{hub/file:id -> text} across both output hubs."""
+    docs = {}
+    for hub in ("ls_hub", "pc_hub"):
+        data = os.path.join(base, hub, "data")
+        if not os.path.isdir(data):
+            continue
+        for f in sorted(os.listdir(data)):
+            for d in read_parquet(os.path.join(data, f)):
+                docs[f"{hub}/{f}:{d['id']}"] = d["text"]
+    return docs
+
+
+@pytest.mark.slow
+def test_kill_anywhere_rerun_converges(tmp_path):
+    clean = str(tmp_path / "clean")
+    rc, out = _run_child(clean)
+    assert rc == 0 and "DONE" in out, out[-3000:]
+    ref_docs = _hub_docs(clean)
+    # librispeech: 12 utts x 2 rows over 6 chunks; corpus: 3 shards x 6 x 2
+    assert len(ref_docs) == 24 + 36
+    assert len(os.listdir(os.path.join(clean, "ls_hub", "data"))) == 6
+
+    chaos = str(tmp_path / "chaos")
+    delays = [0.2, 0.8, 1.6, 3.0]
+    kills = midwork_kills = 0
+    rc = -1
+    for attempt in range(10):
+        kill_after = delays[min(attempt, len(delays) - 1)] if attempt < 6 else None
+        rc, out = _run_child(chaos, kill_after=kill_after)
+        if rc == 0 and "DONE" in out:
+            break
+        kills += 1
+        if _work_evidence(chaos):
+            midwork_kills += 1
+    assert rc == 0, f"never completed after {kills} kills"
+    # a machine fast enough to finish before the first kill timer proves
+    # nothing — only require mid-work evidence when kills happened
+    assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
+    assert _hub_docs(chaos) == ref_docs

@@ -218,6 +218,8 @@ def test_pod_runner_single_chip_warning(tmp_path, capsys, monkeypatch):
         wait=False,
         chips=None,
         chip_env=list(pod_runner.DEFAULT_CHIP_ENV),
+        walltime=None,
+        kill_grace=30.0,
     )
     pod_runner.run(args)
     assert "contend for the same chip" in capsys.readouterr().out
@@ -239,8 +241,8 @@ def test_pod_runner_status(tmp_path, capsys):
     )
     assert pod_main(["status", "--run-dir", run_dir]) == 0
     out = capsys.readouterr().out
-    assert f"s1\tpid={live.pid}\tchip=2\trunning" in out
-    assert "s2\tpid=99999999\tchip=-\tdead" in out
+    assert f"s1\tpid={live.pid}\tchip=2\tage=0s\trunning" in out
+    assert "s2\tpid=99999999\tchip=-\tage=0s\tdead" in out
     live.kill()
 
 
@@ -323,3 +325,80 @@ def test_pod_runner_per_chip_isolation(tmp_path, monkeypatch):
     # reuses whichever chip freed first
     assert {chips["s1"], chips["s2"]} == {"0", "1"}
     assert chips["s3"] in {"0", "1"}
+
+
+def test_pod_runner_walltime_kills_hung_job(tmp_path):
+    """A job exceeding --walltime is SIGTERMed so its slot/chip frees and
+    the queue keeps draining (the reference's Slurm walltime,
+    yodas2-mimi/submit/job_template.sh:5). The hung child here would sleep
+    for minutes; the well-behaved one must still get to run."""
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("hung\nquick\n")
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    code = (
+        "import time, sys; "
+        f"open(r'{marker_dir}'+'/{{shard}}.start','w').write('x'); "
+        "time.sleep(120 if '{shard}' == 'hung' else 0); "
+        f"open(r'{marker_dir}'+'/{{shard}}.done','w').write('x')"
+    )
+    t0 = time.perf_counter()
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list", str(shard_list),
+            "--max-concurrent", "1",  # hung job must free the only slot
+            "--poll-seconds", "0.05",
+            # generous budget: the walltime clock starts at launch, so it
+            # must absorb interpreter startup on a loaded CI box
+            "--walltime", "5.0",
+            "--kill-grace", "5.0",
+            "--run-dir", str(tmp_path / "run"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--wait",
+            "--",
+            sys.executable, "-c", code,
+        ]
+    )
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    assert (marker_dir / "hung.start").exists()
+    assert not (marker_dir / "hung.done").exists()  # killed mid-sleep
+    assert (marker_dir / "quick.done").exists()  # slot freed, queue drained
+    assert wall < 60, f"walltime enforcement too slow ({wall:.1f}s)"
+    # registry drained as both jobs exited
+    assert json.load(open(tmp_path / "run" / "jobs.json")) == {}
+
+
+def test_pod_runner_walltime_sigkill_escalation(tmp_path):
+    """A job that ignores SIGTERM is SIGKILLed after --kill-grace."""
+    shard_list = tmp_path / "shards.txt"
+    shard_list.write_text("stubborn\n")
+    code = (
+        "import signal, time; "
+        "signal.signal(signal.SIGTERM, signal.SIG_IGN); "
+        "time.sleep(120)"
+    )
+    t0 = time.perf_counter()
+    rc = pod_main(
+        [
+            "run",
+            "--shard-list", str(shard_list),
+            "--max-concurrent", "1",
+            "--poll-seconds", "0.05",
+            # long enough that the child reliably installs its SIGTERM
+            # handler before the budget expires (else the TERM would kill
+            # it outright and never exercise the escalation)
+            "--walltime", "3.0",
+            "--kill-grace", "1.0",
+            "--run-dir", str(tmp_path / "run"),
+            "--log-dir", str(tmp_path / "logs"),
+            "--wait",
+            "--",
+            sys.executable, "-c", code,
+        ]
+    )
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    assert wall < 60, f"SIGKILL escalation too slow ({wall:.1f}s)"
+    assert json.load(open(tmp_path / "run" / "jobs.json")) == {}

@@ -17,6 +17,11 @@ hub, exactly like the reference's Slurm jobs). Provides:
     count, and chips release when jobs exit — the TPU equivalent of the
     reference's one-GPU-per-job Slurm isolation
     (yodas2-mimi/submit/job_template.sh:3-15, ``--gres=gpu:1``);
+  - per-job walltime: ``--walltime SECONDS`` SIGTERMs (then, after
+    ``--kill-grace``, SIGKILLs) any job exceeding its budget so a hung
+    job — e.g. a wedged accelerator claim — releases its chip instead of
+    holding it forever. The Slurm equivalent is the job template's
+    ``#SBATCH --time=14-00:00:00`` (yodas2-mimi/submit/job_template.sh:5);
   - ``cancel``: kill every live job in the pidfile registry
     (cancel_all_jobs.sh).
 """
@@ -42,10 +47,15 @@ def _pidfile(run_dir: str) -> str:
 def _load_jobs(run_dir: str) -> Dict[str, dict]:
     jobs = read_json(_pidfile(run_dir), {}) or {}
     # registry v1 stored a bare pid; adopt it with an unknown chip
-    return {
+    out = {
         s: (v if isinstance(v, dict) else {"pid": int(v), "chip": None})
         for s, v in jobs.items()
     }
+    for v in out.values():
+        # pre-walltime registry entries carry no launch time; start their
+        # clock at adoption (the original start is unknowable here)
+        v.setdefault("t0", time.time())
+    return out
 
 
 def _save_jobs(run_dir: str, jobs: Dict[str, dict]) -> None:
@@ -139,6 +149,32 @@ def run(args) -> int:
     log_handles = {}
 
     def poll():
+        if args.walltime is not None:
+            now = time.time()
+            for s, j in list(jobs.items()):
+                if not _alive(j["pid"]):
+                    continue
+                if "term_t" in j:
+                    if now - j["term_t"] >= args.kill_grace:
+                        print(
+                            f"[pod-runner] shard {s} (pid {j['pid']}) ignored "
+                            "SIGTERM; sending SIGKILL"
+                        )
+                        try:
+                            os.kill(j["pid"], signal.SIGKILL)
+                        except ProcessLookupError:
+                            pass
+                elif now - j.get("t0", now) > args.walltime:
+                    print(
+                        f"[pod-runner] shard {s} (pid {j['pid']}) exceeded "
+                        f"walltime {args.walltime:.0f}s; sending SIGTERM"
+                    )
+                    try:
+                        os.kill(j["pid"], signal.SIGTERM)
+                    except ProcessLookupError:
+                        pass
+                    j["term_t"] = now
+                    _save_jobs(args.run_dir, jobs)
         for s, p in list(procs.items()):
             if p.poll() is not None:
                 print(f"[pod-runner] shard {s} exited with {p.returncode}")
@@ -210,7 +246,7 @@ def run(args) -> int:
         p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT, env=env)
         log_handles[shard] = log_f
         procs[shard] = p
-        jobs[shard] = {"pid": p.pid, "chip": chip}
+        jobs[shard] = {"pid": p.pid, "chip": chip, "t0": time.time()}
         _save_jobs(args.run_dir, jobs)
         where = f" on chip {chip}" if chip is not None else ""
         print(f"[pod-runner] launched {shard} (pid {p.pid}){where} -> {log_path}")
@@ -235,7 +271,8 @@ def status(args) -> int:
     for shard, j in sorted(jobs.items()):
         chip = j["chip"] if j["chip"] is not None else "-"
         state = "running" if _alive(j["pid"]) else "dead"
-        print(f"{shard}\tpid={j['pid']}\tchip={chip}\t{state}")
+        age = time.time() - j["t0"]
+        print(f"{shard}\tpid={j['pid']}\tchip={chip}\tage={age:.0f}s\t{state}")
     return 0
 
 
@@ -288,6 +325,23 @@ def main(argv=None):
         default=None,
         help="VAR={chip} env template injected per job (repeatable; "
         f"default: {' '.join(DEFAULT_CHIP_ENV)})",
+    )
+    r.add_argument(
+        "--walltime",
+        type=float,
+        default=None,
+        help="per-job wall-clock budget in seconds; jobs exceeding it get "
+        "SIGTERM, then SIGKILL after --kill-grace, and their chip is freed "
+        "(the reference's `#SBATCH --time=14-00:00:00`, "
+        "yodas2-mimi/submit/job_template.sh:5). Default: unlimited. "
+        "Enforced while this runner polls; the budget survives runner "
+        "restarts via the job registry.",
+    )
+    r.add_argument(
+        "--kill-grace",
+        type=float,
+        default=30.0,
+        help="seconds between walltime SIGTERM and SIGKILL escalation",
     )
     r.add_argument("--wait", action="store_true")
     r.add_argument("cmd", nargs=argparse.REMAINDER,

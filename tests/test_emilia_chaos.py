@@ -6,15 +6,12 @@ determinism a resume bug once broke, NOTES r2)."""
 
 import json
 import os
-import signal
-import subprocess
-import sys
 import tarfile
-import time
 
 import numpy as np
 import pytest
 
+from tests.chaos_utils import kill_anywhere, run_child
 from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
 from tokenize_audio_tpu.hub import LocalHub
 from tokenize_audio_tpu.io import write_wav
@@ -46,33 +43,6 @@ def build_source(tmp_path, rng, speakers=6, utts_per=4):
     return str(tmp_path / "source_hub")
 
 
-def run_child(src, dst, work, kill_after=None, timeout=600):
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    p = subprocess.Popen(
-        [sys.executable, CHILD, src, dst, work],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=env,
-    )
-    if kill_after is None:
-        out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out
-    deadline = time.time() + timeout
-    line = ""
-    while time.time() < deadline:
-        line = p.stdout.readline()
-        if "READY" in line or not line:
-            break
-    time.sleep(kill_after)
-    if p.poll() is None:
-        os.kill(p.pid, signal.SIGKILL)
-        p.wait(timeout=30)
-        p.stdout.read()
-        return -9, ""
-    return p.returncode, line + p.stdout.read()
-
-
 def rows_of(dst):
     rows = read_parquet(os.path.join(dst, "Emilia", "EN", "EN_B00000.parquet"))
     return {r["id"]: r["text"] for r in rows}
@@ -82,20 +52,20 @@ def rows_of(dst):
 def test_kill_anywhere_rerun_converges(tmp_path, rng):
     src = build_source(tmp_path, rng)
 
-    rc, out = run_child(src, str(tmp_path / "clean"), str(tmp_path / "cw"))
+    rc, out = run_child([CHILD, src, str(tmp_path / "clean"), str(tmp_path / "cw")])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = rows_of(str(tmp_path / "clean"))
     assert len(ref) == 6 * 2  # speakers x (type1, type2)
 
     dst, work = str(tmp_path / "chaos"), str(tmp_path / "w")
-    kills = 0
-    for attempt in range(8):
-        kill_after = [0.2, 0.8, 1.6, 3.0][min(attempt, 3)] if attempt < 4 else None
-        rc, out = run_child(src, dst, work, kill_after)
-        if rc == 0 and "DONE" in out:
-            break
-        kills += 1
-    assert rc == 0, f"never completed after {kills} kills"
 
+    def started():  # tar fetch/extract into the work dir counts as work
+        return os.path.isdir(work) and bool(os.listdir(work))
+
+    kill_anywhere(
+        lambda k: run_child([CHILD, src, dst, work], kill_after=k, evidence=started),
+        midwork=started,
+        delays=[0.2, 0.8, 1.6, 3.0],
+    )
     got = rows_of(dst)
     assert got == ref  # ids, texts, and in-document utterance order

@@ -11,51 +11,13 @@ must still match bit for bit.
 
 import json
 import os
-import signal
-import subprocess
-import sys
-import time
 
 import pytest
 
+from tests.chaos_utils import kill_anywhere, run_child
 from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
 
 CHILD = os.path.join(os.path.dirname(__file__), "mls_chaos_child.py")
-
-
-def _run_child(out1, prog, hub, work2, kill_after=None, timeout=600):
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    p = subprocess.Popen(
-        [sys.executable, CHILD, out1, prog, hub, work2],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=env,
-    )
-    if kill_after is None:
-        out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out
-    deadline = time.time() + timeout
-    line = ""
-    while time.time() < deadline:
-        line = p.stdout.readline()
-        if "READY" in line or not line:
-            break
-    # arm the timer from the first evidence of WORK, not from READY —
-    # otherwise every kill can land in the post-READY compile window and
-    # the resume machinery is never actually exercised
-    while time.time() < deadline and p.poll() is None:
-        if _stage1_tree(out1):
-            break
-        time.sleep(0.05)
-    time.sleep(kill_after)
-    if p.poll() is None:
-        os.kill(p.pid, signal.SIGKILL)
-        p.wait(timeout=30)
-        p.stdout.read()
-        return -9, ""
-    out = p.stdout.read()
-    return p.returncode, line + out
 
 
 def _stage1_tree(out1):
@@ -82,7 +44,7 @@ def _hub_docs(hub):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean = [str(tmp_path / f"clean_{d}") for d in ("s1", "prog", "hub", "w2")]
-    rc, out = _run_child(*clean)
+    rc, out = run_child([CHILD, *clean])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref_tree = _stage1_tree(clean[0])
     assert len(ref_tree) == 40
@@ -91,22 +53,12 @@ def test_kill_anywhere_rerun_converges(tmp_path):
     assert len(ref_docs) == 16
 
     ch = [str(tmp_path / f"chaos_{d}") for d in ("s1", "prog", "hub", "w2")]
-    delays = [0.2, 0.8, 1.6, 3.0]
-    kills = midwork_kills = 0
-    rc = -1
-    for attempt in range(10):
-        kill_after = delays[min(attempt, len(delays) - 1)] if attempt < 6 else None
-        rc, out = _run_child(*ch, kill_after=kill_after)
-        if rc == 0 and "DONE" in out:
-            break
-        kills += 1
-        if _stage1_tree(ch[0]) or os.path.isdir(os.path.join(ch[2], "data")):
-            midwork_kills += 1
-    assert rc == 0, f"never completed after {kills} kills"
-    # a machine fast enough to finish before the first kill timer proves
-    # nothing — only require mid-work evidence when kills happened
-    assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
-
+    kill_anywhere(
+        lambda k: run_child([CHILD, *ch], kill_after=k, evidence=lambda: _stage1_tree(ch[0])),
+        midwork=lambda: bool(_stage1_tree(ch[0]))
+        or os.path.isdir(os.path.join(ch[2], "data")),
+        delays=[0.2, 0.8, 1.6, 3.0],
+    )
     got_tree = _stage1_tree(ch[0])
     assert set(got_tree) == set(ref_tree)
     for rel in ref_tree:

@@ -9,14 +9,10 @@ may not.)
 
 import json
 import os
-import signal
-import subprocess
-import sys
-import time
 
-import numpy as np
 import pytest
 
+from tests.chaos_utils import kill_anywhere, run_child
 from tokenize_audio_tpu.hub import LocalHub
 
 N_SUB = 10
@@ -58,33 +54,21 @@ _CLI = (
 )
 
 
-def run_cli(src, dst, work, prog, kill_after=None):
+def run_cli(src, dst, work, prog, kill_after=None, evidence=None):
     sids = ",".join(f"{s:08d}" for s in range(N_SUB))
-    p = subprocess.Popen(
-        [
-            sys.executable, "-c", _CLI,
-            "--shard-id", "en000",
-            "--subshard-ids", sids,
-            "--source-hub", f"dir:{src}",
-            "--target-hub", f"dir:{dst}",
-            "--work-dir", work,
-            "--progress-dir", prog,
-            "--parquet-rows", "100",
-        ],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
-    )
-    if kill_after is not None:
-        time.sleep(kill_after)
-        if p.poll() is None:
-            os.kill(p.pid, signal.SIGKILL)
-            p.wait(timeout=30)
-            p.stdout.read()
-            return -9, ""
-    out, _ = p.communicate(timeout=300)
-    return p.returncode, out
+    argv = [
+        "-c", _CLI,
+        "--shard-id", "en000",
+        "--subshard-ids", sids,
+        "--source-hub", f"dir:{src}",
+        "--target-hub", f"dir:{dst}",
+        "--work-dir", work,
+        "--progress-dir", prog,
+        "--parquet-rows", "100",
+    ]
+    # the CLI prints no READY marker — the evidence predicate alone arms
+    # the kill timer (work starts right after interpreter+import startup)
+    return run_child(argv, kill_after=kill_after, timeout=300, evidence=evidence, wait_ready=False)
 
 
 def uploaded_rows(dst):
@@ -110,25 +94,20 @@ def test_kill_anywhere_row_set_converges(tmp_path, rng):
     assert len(ref) == N_SUB * ENTRIES_PER * 2
 
     dst, work, prog = (str(tmp_path / d) for d in ("chaos", "w", "p"))
-    kills = midwork_kills = 0
-    for attempt in range(10):
-        delay = [2.0, 2.8, 3.6, 4.4, 5.2][min(attempt, 4)] if attempt < 6 else None
-        rc, out = run_cli(src, dst, work, prog, kill_after=delay)
-        if rc == 0:
-            break
-        kills += 1
-        # evidence the kill interrupted REAL work (state already on disk),
-        # i.e. the resume machinery is genuinely being exercised
-        if os.path.exists(os.path.join(prog, "pretrain_en000_progress.json")) or (
-            os.path.isdir(work) and os.listdir(work)
-        ):
-            midwork_kills += 1
-    assert rc == 0, f"never completed after {kills} kills"
-    # a machine fast enough to finish before the first kill timer proves
-    # nothing either way — only require mid-work evidence when kills
-    # actually happened
-    assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
 
+    def started():
+        return os.path.exists(os.path.join(prog, "pretrain_en000_progress.json")) or (
+            os.path.isdir(work) and bool(os.listdir(work))
+        )
+
+    kill_anywhere(
+        lambda k: run_cli(src, dst, work, prog, kill_after=k, evidence=started),
+        midwork=started,
+        # armed from first work evidence (not process start as before), so
+        # the old 2.0-5.2 s ladder would overshoot the run's tail
+        delays=[0.3, 0.8, 1.5, 2.5, 3.5],
+        done_token=None,  # the CLI prints a JSON report, not DONE
+    )
     got = uploaded_rows(dst)
     assert set(got) == set(ref)
     for rid, text in ref.items():

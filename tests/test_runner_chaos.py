@@ -11,13 +11,10 @@ batch-composition independence of the codes.
 """
 
 import os
-import signal
-import subprocess
-import sys
-import time
 
 import pytest
 
+from tests.chaos_utils import kill_anywhere, run_child
 from tokenize_audio_tpu.datasets.parquet_utils import read_parquet
 
 CHILD = os.path.join(os.path.dirname(__file__), "runner_chaos_child.py")
@@ -30,41 +27,6 @@ def _work_evidence(base):
         if os.path.isdir(p) and any(os.scandir(p)):
             return True
     return False
-
-
-def _run_child(base, kill_after=None, timeout=600):
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    p = subprocess.Popen(
-        [sys.executable, CHILD, base],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=env,
-    )
-    if kill_after is None:
-        out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out
-    deadline = time.time() + timeout
-    line = ""
-    while time.time() < deadline:
-        line = p.stdout.readline()
-        if "READY" in line or not line:
-            break
-    # arm the timer from the first evidence of WORK, not from READY —
-    # otherwise every kill can land in the post-READY compile window and
-    # the resume machinery is never actually exercised
-    while time.time() < deadline and p.poll() is None:
-        if _work_evidence(base):
-            break
-        time.sleep(0.05)
-    time.sleep(kill_after)
-    if p.poll() is None:
-        os.kill(p.pid, signal.SIGKILL)
-        p.wait(timeout=30)
-        p.stdout.read()
-        return -9, ""
-    out = p.stdout.read()
-    return p.returncode, line + out
 
 
 def _hub_docs(base):
@@ -83,7 +45,7 @@ def _hub_docs(base):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean = str(tmp_path / "clean")
-    rc, out = _run_child(clean)
+    rc, out = run_child([CHILD, clean])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref_docs = _hub_docs(clean)
     # librispeech: 12 utts x 2 rows over 6 chunks; corpus: 3 shards x 6 x 2
@@ -91,19 +53,11 @@ def test_kill_anywhere_rerun_converges(tmp_path):
     assert len(os.listdir(os.path.join(clean, "ls_hub", "data"))) == 6
 
     chaos = str(tmp_path / "chaos")
-    delays = [0.2, 0.8, 1.6, 3.0]
-    kills = midwork_kills = 0
-    rc = -1
-    for attempt in range(10):
-        kill_after = delays[min(attempt, len(delays) - 1)] if attempt < 6 else None
-        rc, out = _run_child(chaos, kill_after=kill_after)
-        if rc == 0 and "DONE" in out:
-            break
-        kills += 1
-        if _work_evidence(chaos):
-            midwork_kills += 1
-    assert rc == 0, f"never completed after {kills} kills"
-    # a machine fast enough to finish before the first kill timer proves
-    # nothing — only require mid-work evidence when kills happened
-    assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
+    kill_anywhere(
+        lambda k: run_child(
+            [CHILD, chaos], kill_after=k, evidence=lambda: _work_evidence(chaos)
+        ),
+        midwork=lambda: _work_evidence(chaos),
+        delays=[0.2, 0.8, 1.6, 3.0],
+    )
     assert _hub_docs(chaos) == ref_docs

@@ -8,46 +8,14 @@ anywhere, rerun the same command") proven with real process kills.
 
 import json
 import os
-import signal
-import subprocess
-import sys
-import time
 
 import numpy as np
 import pytest
 
+from tests.chaos_utils import kill_anywhere, run_child
 from tests.test_yodas2 import build_corpus
 
 CHILD = os.path.join(os.path.dirname(__file__), "yodas2_chaos_child.py")
-
-
-def _run_child(mirror, work, prog, hub, kill_after=None, timeout=600):
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    p = subprocess.Popen(
-        [sys.executable, CHILD, mirror, work, prog, hub],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=env,
-    )
-    if kill_after is None:
-        out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out
-    # wait for READY (engine built), then arm the kill timer
-    deadline = time.time() + timeout
-    line = ""
-    while time.time() < deadline:
-        line = p.stdout.readline()
-        if "READY" in line or not line:
-            break
-    time.sleep(kill_after)
-    if p.poll() is None:
-        os.kill(p.pid, signal.SIGKILL)
-        p.wait(timeout=30)
-        p.stdout.read()
-        return -9, ""
-    out = p.stdout.read()
-    return p.returncode, line + out
 
 
 def _hub_contents(hub_dir):
@@ -70,26 +38,27 @@ def test_kill_anywhere_rerun_converges(tmp_path, rng):
 
     # uninterrupted reference run
     clean = {d: str(tmp_path / f"clean_{d}") for d in ("work", "prog", "hub")}
-    rc, out = _run_child(mirror, clean["work"], clean["prog"], clean["hub"])
+    rc, out = run_child([CHILD, mirror, clean["work"], clean["prog"], clean["hub"]])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = _hub_contents(clean["hub"])
     assert len(ref) == 3
 
-    # chaos runs: SIGKILL at staggered offsets after READY, then rerun;
-    # repeat until a run completes (bounded attempts)
+    # chaos runs: SIGKILL at staggered offsets after the first evidence of
+    # work (fetch/extract into the work dir), then rerun until completion
     ch = {d: str(tmp_path / f"chaos_{d}") for d in ("work", "prog", "hub")}
-    delays = [0.2, 1.0, 2.5, 5.0]
-    completed = False
-    kills = 0
-    for attempt in range(8):
-        kill_after = delays[min(attempt, len(delays) - 1)] if attempt < 4 else None
-        rc, out = _run_child(mirror, ch["work"], ch["prog"], ch["hub"], kill_after)
-        if rc == 0 and "DONE" in out:
-            completed = True
-            break
-        kills += 1
-    assert completed, f"never completed after {kills} kills"
 
+    def started():
+        return os.path.isdir(ch["work"]) and bool(os.listdir(ch["work"]))
+
+    kill_anywhere(
+        lambda k: run_child(
+            [CHILD, mirror, ch["work"], ch["prog"], ch["hub"]],
+            kill_after=k,
+            evidence=started,
+        ),
+        midwork=started,
+        delays=[0.2, 1.0, 2.5, 5.0],
+    )
     got = _hub_contents(ch["hub"])
     assert set(got) == set(ref)
     for f in ref:

@@ -11,10 +11,33 @@ work-evidence predicate, and their artifact comparison.
 """
 
 import os
+import select
 import signal
 import subprocess
 import sys
 import time
+
+
+def _read_until_ready(stream, deadline):
+    """Accumulate raw child output until a line containing READY, EOF, or
+    the deadline. The stream must be an UNBUFFERED binary pipe: select()
+    only sees the OS pipe, so any userspace buffering would strand data
+    select can't observe. Returns (bytes_read, saw_ready)."""
+    buf = b""
+    while time.time() < deadline:
+        ready, _, _ = select.select([stream], [], [], min(1.0, max(0.0, deadline - time.time())))
+        if not ready:
+            continue
+        chunk = stream.read(4096)
+        if not chunk:
+            return buf, False
+        buf += chunk
+        # only count READY once its line is complete, so the caller never
+        # arms the kill timer on a partially-flushed marker
+        head, nl, _ = buf.rpartition(b"\n")
+        if nl and b"READY" in head:
+            return buf, True
+    return buf, False
 
 
 def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True):
@@ -27,7 +50,9 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
     every kill can land in the post-READY compile window and the resume
     machinery is never actually exercised — then sleep ``kill_after``
     seconds and SIGKILL. Returns ``(returncode, output)``; a killed run
-    returns ``(-9, "")``. XLA_FLAGS is stripped from the environment so
+    returns ``(-9, "")``, and a child that dies before READY returns its
+    real exit code with everything it printed (the only diagnostic if
+    setup crashes). XLA_FLAGS is stripped from the environment so
     children self-provision their own platform config.
     """
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
@@ -35,19 +60,16 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
         [sys.executable] + list(argv),
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
-        text=True,
+        bufsize=0,
         env=env,
     )
     if kill_after is None:
         out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out
+        return p.returncode, out.decode(errors="replace")
     deadline = time.time() + timeout
-    line = ""
+    pre = b""
     if wait_ready:
-        while time.time() < deadline:
-            line = p.stdout.readline()
-            if "READY" in line or not line:
-                break
+        pre, _ = _read_until_ready(p.stdout, deadline)
     if evidence is not None:
         while time.time() < deadline and p.poll() is None:
             if evidence():
@@ -59,7 +81,7 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
         p.wait(timeout=30)
         p.stdout.read()
         return -9, ""
-    return p.returncode, line + p.stdout.read()
+    return p.returncode, (pre + p.stdout.read()).decode(errors="replace")
 
 
 def kill_anywhere(run, midwork, delays, attempts=10, kill_attempts=6, done_token="DONE"):
@@ -72,19 +94,27 @@ def kill_anywhere(run, midwork, delays, attempts=10, kill_attempts=6, done_token
     started. Asserts the run eventually completes and that — when kills
     happened at all — at least one landed mid-work (a machine fast
     enough to finish before the first kill timer proves nothing, so
-    mid-work evidence is only required when there were kills).
-    Returns the number of kills, for tests that want to log or bound it.
+    mid-work evidence is only required when there were kills). A child
+    that fails on its own (nonzero exit without a kill) is counted and
+    reported separately so a deterministic child bug isn't misdiagnosed
+    as a resume problem. Returns the number of kills.
     """
-    kills = midwork_kills = 0
+    kills = midwork_kills = failures = 0
     rc, out = -1, ""
     for attempt in range(attempts):
         kill_after = delays[min(attempt, len(delays) - 1)] if attempt < kill_attempts else None
         rc, out = run(kill_after)
         if rc == 0 and (done_token is None or done_token in out):
             break
-        kills += 1
-        if midwork():
-            midwork_kills += 1
-    assert rc == 0, f"never completed after {kills} kills: {out[-2000:]}"
+        if rc == -9:
+            kills += 1
+            if midwork():
+                midwork_kills += 1
+        else:
+            failures += 1
+    assert rc == 0, (
+        f"never completed: {kills} kills, {failures} un-killed failures; "
+        f"last output tail: {out[-2000:]}"
+    )
     assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
     return kills

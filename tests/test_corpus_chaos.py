@@ -44,7 +44,13 @@ def test_kill_anywhere_rerun_converges(tmp_path):
     ch = [str(tmp_path / f"chaos_{d}") for d in ("src", "dst", "work", "prog")]
 
     def started():
-        return bool(_hub_docs(ch[1])) or (os.path.isdir(ch[3]) and os.listdir(ch[3]))
+        # cheap existence checks only — this is polled every 20 ms while a
+        # kill is armed; parsing published parquets here would be
+        # O(published data) per tick. The work dir fills first (the source
+        # parquet downloads into it before any encode).
+        return any(
+            os.path.isdir(d) and bool(os.listdir(d)) for d in (ch[2], ch[3], os.path.join(ch[1], "en"))
+        )
 
     kill_anywhere(
         lambda k: run_child([CHILD, *ch], kill_after=k, evidence=started),

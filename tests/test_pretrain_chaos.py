@@ -95,14 +95,30 @@ def test_kill_anywhere_row_set_converges(tmp_path, rng):
 
     dst, work, prog = (str(tmp_path / d) for d in ("chaos", "w", "p"))
 
-    def started():
-        return os.path.exists(os.path.join(prog, "pretrain_en000_progress.json")) or (
-            os.path.isdir(work) and bool(os.listdir(work))
+    def state_sig():
+        """Progress mtime + work-dir listing: changes whenever the run
+        makes forward progress (the progress JSON is rewritten per
+        sub-shard; work files appear and rotate)."""
+        pf = os.path.join(prog, "pretrain_en000_progress.json")
+        mtime = os.path.getmtime(pf) if os.path.exists(pf) else None
+        listing = tuple(sorted(os.listdir(work))) if os.path.isdir(work) else ()
+        return (mtime, listing)
+
+    # evidence must be CHANGE-since-spawn, not mere existence: from the
+    # second attempt on, state from the previous kill is already on disk
+    # at child spawn, and an existence check would arm the kill timer
+    # during interpreter startup instead of after resumed work
+    snap = []
+
+    def run(k):
+        snap[:] = [state_sig()]
+        return run_cli(
+            src, dst, work, prog, kill_after=k, evidence=lambda: state_sig() != snap[0]
         )
 
     kill_anywhere(
-        lambda k: run_cli(src, dst, work, prog, kill_after=k, evidence=started),
-        midwork=started,
+        run,
+        midwork=lambda: state_sig() != snap[0],
         # armed from first work evidence (not process start as before), so
         # the old 2.0-5.2 s ladder would overshoot the run's tail
         delays=[0.3, 0.8, 1.5, 2.5, 3.5],

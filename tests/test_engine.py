@@ -536,3 +536,35 @@ def test_engine_windowed_mode(tiny_oracle, rng):
         )
         ref = np.asarray(ref)[0, :, : int(np.asarray(v)[0])]
         assert (g == ref).all()
+
+
+def test_engine_transient_fault_retry(tiny_oracle, rng, monkeypatch):
+    """A transient device/runtime fault at result fetch re-dispatches the
+    batch once (encode is stateless, so the retry is safe) instead of
+    aborting the whole encode_batch; codes are unaffected and the retry is
+    counted. A persistent fault still raises (second failure propagates)."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (1000, 5000, 19200)]
+    ref = eng.encode_batch(audios)
+
+    real_get = jax.device_get
+    fails = {"n": 1}
+
+    def flaky_get(x):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError("INTERNAL: remote_compile: read body closed")
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", flaky_get)
+    got = eng.encode_batch(audios)
+    for g, r in zip(got, ref):
+        assert (g == r).all()
+    assert eng.stats.transient_retries == 1
+
+    fails["n"] = 10_000  # persistent fault: the single retry must re-raise
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        eng.encode_batch(audios)

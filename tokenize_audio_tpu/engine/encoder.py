@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import math
 from typing import List, Optional, Sequence
 
@@ -44,6 +45,8 @@ from tokenize_audio_tpu.core.audio import (
 from tokenize_audio_tpu.engine.metrics import EngineStats
 from tokenize_audio_tpu.mimi.config import MimiConfig
 from tokenize_audio_tpu.mimi.model import encode as mimi_encode
+
+logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -463,11 +466,35 @@ class MimiEncoderEngine:
         # host-concurrency role of the reference's ThreadPoolExecutor,
         # yodas2-mimi/process_shard.py:690-717, done JAX-async instead)
         results: List[Optional[np.ndarray]] = [None] * len(pieces)
-        inflight: List[tuple] = []  # (handle, idxs)
+        inflight: List[tuple] = []  # (handle, idxs, (bucket, budget_len))
 
         def drain_one():
-            handle, idxs = inflight.pop(0)
-            for g, c in zip(idxs, self._collect(handle)):
+            handle, idxs, (bucket, budget_len) = inflight.pop(0)
+            try:
+                collected = self._collect(handle)
+            except jax.errors.JaxRuntimeError as e:
+                # Transient fabric/runtime faults (a dropped remote-compile
+                # RPC, a mid-stream transfer abort) surface here when the
+                # async dispatch's error materializes at device_get. Encode
+                # is stateless — params stay device-resident, inputs are
+                # host-owned numpy — so ONE re-dispatch of the same group is
+                # safe and turns a would-be shard-attempt abort into a
+                # seamless continue (the shard-level restart-resume contract
+                # still backstops a persistent fault, which re-raises below).
+                if self._multiprocess:
+                    raise  # SPMD: a lone re-dispatch would desync the
+                    # collective launch schedule across processes
+                logger.warning(
+                    "transient device fault on a %d-row batch; re-dispatching once: %s",
+                    len(idxs),
+                    e,
+                )
+                self.stats.transient_retries += 1
+                handle = self._dispatch(
+                    [pieces[g] for g in idxs], bucket, resample_arg, budget_len
+                )
+                collected = self._collect(handle)
+            for g, c in zip(idxs, collected):
                 results[g] = c
 
         for bucket, budget_len, idxs in jobs:
@@ -477,6 +504,7 @@ class MimiEncoderEngine:
                         [pieces[g] for g in idxs], bucket, resample_arg, budget_len
                     ),
                     idxs,
+                    (bucket, budget_len),
                 )
             )
             if len(inflight) >= self.pipeline_depth:

@@ -21,6 +21,7 @@ class EngineStats:
     utterances: int = 0
     frames: int = 0
     padded_frames: int = 0  # bucket waste accounting
+    transient_retries: int = 0  # device batches re-dispatched after a fault
     stage_seconds: Dict[str, float] = dataclasses.field(
         default_factory=lambda: defaultdict(float)
     )

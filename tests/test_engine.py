@@ -568,3 +568,32 @@ def test_engine_transient_fault_retry(tiny_oracle, rng, monkeypatch):
     fails["n"] = 10_000  # persistent fault: the single retry must re-raise
     with pytest.raises(jax.errors.JaxRuntimeError):
         eng.encode_batch(audios)
+
+
+def test_engine_dispatch_fault_retry(tiny_oracle, rng, monkeypatch):
+    """Faults can also raise synchronously inside _dispatch (the jitted
+    call blocks on compilation — a dropped remote-compile RPC raises
+    exactly there); the same single-retry policy applies."""
+    import tokenize_audio_tpu.engine.encoder as enc_mod
+
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (1000, 5000)]
+    ref = eng.encode_batch(audios)
+
+    real_encode = enc_mod.mimi_encode
+    fails = {"n": 1}
+
+    def flaky_encode(*a, **k):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError("INTERNAL: remote_compile: read body closed")
+        return real_encode(*a, **k)
+
+    monkeypatch.setattr(enc_mod, "mimi_encode", flaky_encode)
+    got = eng.encode_batch(audios)
+    for g, r in zip(got, ref):
+        assert (g == r).all()
+    assert eng.stats.transient_retries == 1

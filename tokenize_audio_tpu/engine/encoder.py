@@ -497,15 +497,28 @@ class MimiEncoderEngine:
             for g, c in zip(idxs, collected):
                 results[g] = c
 
+        def dispatch_retrying(idxs, bucket, budget_len):
+            # faults can ALSO raise synchronously inside _dispatch (the
+            # jitted call blocks on compilation — a dropped remote-compile
+            # RPC was observed raising exactly here); same single-retry
+            # policy as the collect side
+            group = [pieces[g] for g in idxs]
+            try:
+                return self._dispatch(group, bucket, resample_arg, budget_len)
+            except jax.errors.JaxRuntimeError as e:
+                if self._multiprocess:
+                    raise
+                logger.warning(
+                    "transient device fault dispatching a %d-row batch; retrying once: %s",
+                    len(idxs),
+                    e,
+                )
+                self.stats.transient_retries += 1
+                return self._dispatch(group, bucket, resample_arg, budget_len)
+
         for bucket, budget_len, idxs in jobs:
             inflight.append(
-                (
-                    self._dispatch(
-                        [pieces[g] for g in idxs], bucket, resample_arg, budget_len
-                    ),
-                    idxs,
-                    (bucket, budget_len),
-                )
+                (dispatch_retrying(idxs, bucket, budget_len), idxs, (bucket, budget_len))
             )
             if len(inflight) >= self.pipeline_depth:
                 drain_one()

@@ -597,3 +597,32 @@ def test_engine_dispatch_fault_retry(tiny_oracle, rng, monkeypatch):
     for g, r in zip(got, ref):
         assert (g == r).all()
     assert eng.stats.transient_retries == 1
+
+
+def test_engine_stream_fault_retry(tiny_oracle, rng, monkeypatch):
+    """The streaming long-audio path shares the single-retry policy: a
+    group whose stream dies with a runtime fault re-streams from scratch
+    (encode_streams resets carried state at entry, so the retry is exact)."""
+    from tokenize_audio_tpu.mimi.streaming import StreamingMimiEncoder
+
+    _, params, cfg = tiny_oracle
+    ecfg = EngineConfig(
+        batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=2.0, long_audio_policy="stream"
+    )
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [(rng.standard_normal(int(24_000 * 2.6)) * 0.3).astype(np.float32)]
+    ref = eng.encode_batch(audios)
+
+    real = StreamingMimiEncoder.encode_streams
+    fails = {"n": 1}
+
+    def flaky(self, *a, **k):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError("INTERNAL: transfer aborted")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(StreamingMimiEncoder, "encode_streams", flaky)
+    got = eng.encode_batch(audios)
+    assert (got[0] == ref[0]).all()
+    assert eng.stats.transient_retries == 1

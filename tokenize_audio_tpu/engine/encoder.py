@@ -533,7 +533,22 @@ class MimiEncoderEngine:
             grp = stream_jobs[s : s + self.engine_cfg.stream_batch]
             enc = self._stream_encoder_for(len(grp))
             with self.stats.stage("stream"):
-                codes_list = enc.encode_streams([a for _, a in grp])
+                try:
+                    codes_list = enc.encode_streams([a for _, a in grp])
+                except jax.errors.JaxRuntimeError as e:
+                    # same single-retry policy as the bucketed path; exact
+                    # because encode_streams resets carried state at entry,
+                    # so the whole group simply re-streams from scratch
+                    if self._multiprocess:
+                        raise
+                    logger.warning(
+                        "transient device fault streaming a %d-stream group; "
+                        "retrying once: %s",
+                        len(grp),
+                        e,
+                    )
+                    self.stats.transient_retries += 1
+                    codes_list = enc.encode_streams([a for _, a in grp])
             for (i, _), c in zip(grp, codes_list):
                 self.stats.frames += c.shape[1]
                 # streamed frames carry no bucket padding; count them on

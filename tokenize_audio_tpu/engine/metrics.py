@@ -63,5 +63,6 @@ class EngineStats:
             "wall_seconds": round(self.wall_seconds, 3),
             "realtime_factor": round(self.realtime_factor, 2),
             "bucket_efficiency": round(self.bucket_efficiency, 4),
+            "transient_retries": self.transient_retries,
             **{f"stage_{k}": round(v, 3) for k, v in self.stage_seconds.items()},
         }

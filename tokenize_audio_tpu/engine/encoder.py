@@ -305,6 +305,29 @@ class MimiEncoderEngine:
                 pass
         return codes, n_real, frames, bucket_frames
 
+    def _retry_transient(self, what: str, attempt, recover=None):
+        """Run ``attempt()``, absorbing ONE transient device/runtime fault.
+
+        Faults (a dropped remote-compile RPC, a mid-stream transfer abort)
+        surface as JaxRuntimeError at dispatch, collect, or stream time.
+        Encode is stateless at every retry grain — params stay
+        device-resident, inputs are host-owned numpy — so one retry
+        (``recover()``, defaulting to ``attempt()`` again) is exact and
+        turns a would-be shard-attempt abort into a counted
+        ``transient_retries`` stat. A persistent fault re-raises into the
+        shard-level restart-resume machinery. Multiprocess SPMD mode never
+        retries: a lone re-dispatch would desync the collective launch
+        schedule across processes.
+        """
+        try:
+            return attempt()
+        except jax.errors.JaxRuntimeError as e:
+            if self._multiprocess:
+                raise
+            logger.warning("transient device fault %s; retrying once: %s", what, e)
+            self.stats.transient_retries += 1
+            return (recover or attempt)()
+
     def _collect(self, handle) -> List[np.ndarray]:
         """Block on an in-flight batch and trim per-row codes."""
         codes_d, n_real, frames, bucket_frames = handle
@@ -469,57 +492,31 @@ class MimiEncoderEngine:
         inflight: List[tuple] = []  # (handle, idxs, (bucket, budget_len))
 
         def drain_one():
+            # a fault at collect time (the async dispatch's error
+            # materializes at device_get) recovers by re-dispatching the
+            # whole group and collecting that
             handle, idxs, (bucket, budget_len) = inflight.pop(0)
-            try:
-                collected = self._collect(handle)
-            except jax.errors.JaxRuntimeError as e:
-                # Transient fabric/runtime faults (a dropped remote-compile
-                # RPC, a mid-stream transfer abort) surface here when the
-                # async dispatch's error materializes at device_get. Encode
-                # is stateless — params stay device-resident, inputs are
-                # host-owned numpy — so ONE re-dispatch of the same group is
-                # safe and turns a would-be shard-attempt abort into a
-                # seamless continue (the shard-level restart-resume contract
-                # still backstops a persistent fault, which re-raises below).
-                if self._multiprocess:
-                    raise  # SPMD: a lone re-dispatch would desync the
-                    # collective launch schedule across processes
-                logger.warning(
-                    "transient device fault on a %d-row batch; re-dispatching once: %s",
-                    len(idxs),
-                    e,
-                )
-                self.stats.transient_retries += 1
-                handle = self._dispatch(
-                    [pieces[g] for g in idxs], bucket, resample_arg, budget_len
-                )
-                collected = self._collect(handle)
+            collected = self._retry_transient(
+                f"collecting a {len(idxs)}-row batch",
+                lambda: self._collect(handle),
+                recover=lambda: self._collect(
+                    self._dispatch([pieces[g] for g in idxs], bucket, resample_arg, budget_len)
+                ),
+            )
             for g, c in zip(idxs, collected):
                 results[g] = c
 
-        def dispatch_retrying(idxs, bucket, budget_len):
+        for bucket, budget_len, idxs in jobs:
             # faults can ALSO raise synchronously inside _dispatch (the
             # jitted call blocks on compilation — a dropped remote-compile
-            # RPC was observed raising exactly here); same single-retry
-            # policy as the collect side
-            group = [pieces[g] for g in idxs]
-            try:
-                return self._dispatch(group, bucket, resample_arg, budget_len)
-            except jax.errors.JaxRuntimeError as e:
-                if self._multiprocess:
-                    raise
-                logger.warning(
-                    "transient device fault dispatching a %d-row batch; retrying once: %s",
-                    len(idxs),
-                    e,
-                )
-                self.stats.transient_retries += 1
-                return self._dispatch(group, bucket, resample_arg, budget_len)
-
-        for bucket, budget_len, idxs in jobs:
-            inflight.append(
-                (dispatch_retrying(idxs, bucket, budget_len), idxs, (bucket, budget_len))
+            # RPC was observed raising exactly here)
+            handle = self._retry_transient(
+                f"dispatching a {len(idxs)}-row batch",
+                lambda: self._dispatch(
+                    [pieces[g] for g in idxs], bucket, resample_arg, budget_len
+                ),
             )
+            inflight.append((handle, idxs, (bucket, budget_len)))
             if len(inflight) >= self.pipeline_depth:
                 drain_one()
         while inflight:
@@ -533,22 +530,12 @@ class MimiEncoderEngine:
             grp = stream_jobs[s : s + self.engine_cfg.stream_batch]
             enc = self._stream_encoder_for(len(grp))
             with self.stats.stage("stream"):
-                try:
-                    codes_list = enc.encode_streams([a for _, a in grp])
-                except jax.errors.JaxRuntimeError as e:
-                    # same single-retry policy as the bucketed path; exact
-                    # because encode_streams resets carried state at entry,
-                    # so the whole group simply re-streams from scratch
-                    if self._multiprocess:
-                        raise
-                    logger.warning(
-                        "transient device fault streaming a %d-stream group; "
-                        "retrying once: %s",
-                        len(grp),
-                        e,
-                    )
-                    self.stats.transient_retries += 1
-                    codes_list = enc.encode_streams([a for _, a in grp])
+                # retry is exact here because encode_streams resets carried
+                # state at entry — the whole group re-streams from scratch
+                codes_list = self._retry_transient(
+                    f"streaming a {len(grp)}-stream group",
+                    lambda: enc.encode_streams([a for _, a in grp]),
+                )
             for (i, _), c in zip(grp, codes_list):
                 self.stats.frames += c.shape[1]
                 # streamed frames carry no bucket padding; count them on

@@ -34,13 +34,13 @@ def test_rename_preserves_id(tmp_path, rng):
     )
 
 
-def _tiny_lm(tie: bool):
+def _tiny_lm(tie: bool, vocab_size: int = 32):
     import torch
     from transformers import LlamaConfig, LlamaForCausalLM
 
     torch.manual_seed(0)
     cfg = LlamaConfig(
-        vocab_size=32,
+        vocab_size=vocab_size,
         hidden_size=16,
         intermediate_size=32,
         num_hidden_layers=1,
@@ -109,3 +109,54 @@ def test_set_bos(tmp_path, rng):
     tok = set_bos_token(base_dir, "<|begin_of_text|>")
     assert tok.bos_token == "<|begin_of_text|>"
     assert len(tok) == n + 1
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    """`python -m tokenize_audio_tpu.bpe.surgery` runs the whole qwen3x
+    recipe: rename + BOS + audio alphabet + pipeline specials + model
+    embedding resize, in one command (MIGRATION.md maps the notebook
+    here)."""
+    import json
+
+    from transformers import AutoTokenizer
+
+    from tokenize_audio_tpu.bpe import surgery
+
+    base_dir, base = make_base(tmp_path, rng)
+    old_id = base.convert_tokens_to_ids("<|endoftext|>")
+    model_dir = str(tmp_path / "lm")
+    # smaller than the extended vocab, like Qwen3 vs qwen3x
+    _tiny_lm(tie=False, vocab_size=16).save_pretrained(model_dir)
+    out_dir, model_out = str(tmp_path / "qx"), str(tmp_path / "lmx")
+
+    surgery.main(
+        [
+            "--tokenizer", base_dir,
+            "--out-dir", out_dir,
+            "--rename", "<|endoftext|>=<|end_of_text|>",
+            "--bos", "<|begin_of_text|>",
+            "--add-audio-alphabet",
+            "--num-codebooks", "2",
+            "--codebook-size", "4",
+            "--unicode-offset", "0xE000",
+            "--pipeline-specials",
+            "--model", model_dir,
+            "--model-out", model_out,
+        ]
+    )
+    tok = AutoTokenizer.from_pretrained(out_dir)
+    # rename kept the id; BOS registered; alphabet + specials present
+    assert tok.convert_tokens_to_ids("<|end_of_text|>") == old_id
+    assert tok.bos_token == "<|begin_of_text|>"
+    for ch in (chr(0xE000), chr(0xE000 + 2 * 4 - 1)):
+        assert ch in tok.get_vocab()
+    assert "<|audio_start|>" in tok.get_vocab()
+    # the resized model loads and covers the new vocab
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    lm = AutoModelForCausalLM.from_pretrained(model_out)
+    assert lm.config.vocab_size == len(tok)
+    ids = torch.tensor([[len(tok) - 1, tok.convert_tokens_to_ids(chr(0xE000))]])
+    with torch.no_grad():
+        assert lm(ids).logits.shape[-1] == len(tok)

@@ -18,12 +18,14 @@ import shutil
 
 def rename_token_in_place(tokenizer_dir: str, old: str, new: str, out_dir: str) -> None:
     """Copy a fast-tokenizer directory, renaming ``old`` -> ``new`` in the
-    vocab (id preserved) and in every special-token config reference."""
+    vocab (id preserved) and in every special-token config reference.
+    ``out_dir`` may equal ``tokenizer_dir`` (chained renames edit in place)."""
     os.makedirs(out_dir, exist_ok=True)
-    for f in os.listdir(tokenizer_dir):
-        src = os.path.join(tokenizer_dir, f)
-        if os.path.isfile(src):
-            shutil.copyfile(src, os.path.join(out_dir, f))
+    if os.path.abspath(tokenizer_dir) != os.path.abspath(out_dir):
+        for f in os.listdir(tokenizer_dir):
+            src = os.path.join(tokenizer_dir, f)
+            if os.path.isfile(src):
+                shutil.copyfile(src, os.path.join(out_dir, f))
 
     tok_json = os.path.join(out_dir, "tokenizer.json")
     with open(tok_json) as f:
@@ -150,3 +152,98 @@ def set_bos_token(tokenizer_dir: str, bos: str, add_if_missing: bool = True):
     else:
         tok.bos_token = bos
     return tok
+
+
+def main(argv=None):
+    """The qwen3x.ipynb recipe as one command: rename special tokens in
+    place (id-preserving), register a BOS, add the audio code alphabet +
+    pipeline specials, save the extended tokenizer, and (optionally)
+    resize a causal LM's embeddings to the final vocab."""
+    import argparse
+
+    from tokenize_audio_tpu.config import (
+        CODEBOOK_SIZE,
+        NUM_CODEBOOKS,
+        SPECIAL_TOKENS,
+        UNICODE_OFFSET_LARGE,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--tokenizer", required=True, help="base fast-tokenizer dir")
+    ap.add_argument("--out-dir", required=True, help="extended tokenizer output dir")
+    ap.add_argument(
+        "--rename",
+        action="append",
+        default=[],
+        metavar="OLD=NEW",
+        help="id-preserving special-token rename; repeatable "
+        "(qwen3x: '<|endoftext|>=<|end_of_text|>')",
+    )
+    ap.add_argument("--bos", help="BOS token to add/register (qwen3x: '<|begin_of_text|>')")
+    ap.add_argument(
+        "--add-audio-alphabet",
+        action="store_true",
+        help="add the num_codebooks x codebook_size code chars "
+        "(train_bpe_recipe.txt step 3)",
+    )
+    ap.add_argument("--num-codebooks", type=int, default=NUM_CODEBOOKS)
+    ap.add_argument("--codebook-size", type=int, default=CODEBOOK_SIZE)
+    ap.add_argument(
+        "--unicode-offset", type=lambda s: int(s, 0), default=UNICODE_OFFSET_LARGE
+    )
+    ap.add_argument(
+        "--pipeline-specials",
+        action="store_true",
+        help="also add the pipeline special tokens "
+        "(<|text_start|> <|text_end|> <|audio_start|> <|audio_end|>)",
+    )
+    ap.add_argument(
+        "--special-tokens", default="", help="extra comma-separated special tokens"
+    )
+    ap.add_argument("--model", help="HF causal-LM dir to resize to the final vocab")
+    ap.add_argument("--model-out", help="resized model output dir (default <model>_extended)")
+    args = ap.parse_args(argv)
+
+    src = args.tokenizer
+    for spec in args.rename:
+        old, new = spec.split("=", 1)
+        rename_token_in_place(src, old, new, args.out_dir)
+        src = args.out_dir
+    if args.bos:
+        tok = set_bos_token(src, args.bos)
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(src)
+    if args.add_audio_alphabet or args.pipeline_specials or args.special_tokens:
+        from tokenize_audio_tpu.bpe.trainer import extend_tokenizer
+
+        specials = [t for t in args.special_tokens.split(",") if t]
+        if args.pipeline_specials:
+            specials = [
+                SPECIAL_TOKENS[k]
+                for k in ("text_start", "text_end", "audio_start", "audio_end")
+            ] + specials
+        tok = extend_tokenizer(
+            tok,
+            args.num_codebooks if args.add_audio_alphabet else 0,
+            args.codebook_size,
+            args.unicode_offset,
+            specials,
+        )
+    tok.save_pretrained(args.out_dir)
+    report = {"tokenizer_out": args.out_dir, "vocab_size": len(tok)}
+    if args.model:
+        from transformers import AutoModelForCausalLM
+
+        model = AutoModelForCausalLM.from_pretrained(args.model)
+        extend_model_embeddings(model, len(tok))
+        model_out = args.model_out or (args.model.rstrip("/") + "_extended")
+        model.save_pretrained(model_out)
+        report["model_out"] = model_out
+        report["model_vocab_size"] = int(model.config.vocab_size)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

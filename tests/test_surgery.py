@@ -160,3 +160,42 @@ def test_cli_end_to_end(tmp_path, rng):
     ids = torch.tensor([[len(tok) - 1, tok.convert_tokens_to_ids(chr(0xE000))]])
     with torch.no_grad():
         assert lm(ids).logits.shape[-1] == len(tok)
+
+
+def test_cli_num_tokens_to_copy(tmp_path, rng):
+    """--num-tokens-to-copy drops the base model's trailing padding rows:
+    new tokens must get mean+noise rows, not stale padding embeddings
+    (qwen3x copies 151669 of Qwen3's 151936)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from tokenize_audio_tpu.bpe import surgery
+
+    base_dir, base = make_base(tmp_path, rng)
+    n_real = len(base)  # pretend rows >= n_real are distributed padding
+    model_dir = str(tmp_path / "lm_padded")
+    lm = _tiny_lm(tie=False, vocab_size=32)
+    with torch.no_grad():  # make the padding rows recognizably garbage
+        lm.get_input_embeddings().weight[n_real:] = 1e6
+    lm.save_pretrained(model_dir)
+    out_dir, model_out = str(tmp_path / "qx2"), str(tmp_path / "lmx2")
+
+    surgery.main(
+        [
+            "--tokenizer", base_dir,
+            "--out-dir", out_dir,
+            "--add-audio-alphabet",
+            "--num-codebooks", "2",
+            "--codebook-size", "4",
+            "--unicode-offset", "0xE000",
+            "--model", model_dir,
+            "--model-out", model_out,
+            "--num-tokens-to-copy", str(n_real),
+        ]
+    )
+    got = AutoModelForCausalLM.from_pretrained(model_out)
+    w = got.get_input_embeddings().weight
+    assert w.shape[0] > n_real
+    # kept rows exact; every re-initialized row is mean+noise, NOT the 1e6 garbage
+    assert torch.equal(w[:n_real], lm.get_input_embeddings().weight[:n_real])
+    assert w[n_real:].abs().max().item() < 100.0

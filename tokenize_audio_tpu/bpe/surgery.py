@@ -202,11 +202,22 @@ def main(argv=None):
     )
     ap.add_argument("--model", help="HF causal-LM dir to resize to the final vocab")
     ap.add_argument("--model-out", help="resized model output dir (default <model>_extended)")
+    ap.add_argument(
+        "--num-tokens-to-copy",
+        type=int,
+        help="embedding rows to keep from the base model; rows past this are "
+        "re-initialized (mean+noise) — set it to the base TOKENIZER's vocab "
+        "size when the model carries trailing distributed-training padding "
+        "rows (qwen3x copies 151669 of Qwen3's 151936), else new tokens "
+        "silently inherit stale padding embeddings",
+    )
     args = ap.parse_args(argv)
 
     src = args.tokenizer
     for spec in args.rename:
-        old, new = spec.split("=", 1)
+        old, eq, new = spec.partition("=")
+        if not eq or not old or not new:
+            ap.error(f"--rename expects OLD=NEW, got {spec!r}")
         rename_token_in_place(src, old, new, args.out_dir)
         src = args.out_dir
     if args.bos:
@@ -237,7 +248,7 @@ def main(argv=None):
         from transformers import AutoModelForCausalLM
 
         model = AutoModelForCausalLM.from_pretrained(args.model)
-        extend_model_embeddings(model, len(tok))
+        extend_model_embeddings(model, len(tok), num_tokens_to_copy=args.num_tokens_to_copy)
         model_out = args.model_out or (args.model.rstrip("/") + "_extended")
         model.save_pretrained(model_out)
         report["model_out"] = model_out

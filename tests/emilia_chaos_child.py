@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     src_dir, dst_dir, work = sys.argv[1:4]
+    conversational = len(sys.argv) > 4 and sys.argv[4] == "conversational"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -36,6 +37,7 @@ def main():
         LocalHub(dst_dir),
         engine,
         work,
+        conversational=conversational,
     )
     print("READY", flush=True)
     rep = proc.process()

@@ -44,18 +44,29 @@ def build_source(tmp_path, rng, speakers=6, utts_per=4):
 
 
 def rows_of(dst):
+    """Full rows keyed by id — conversational adds speaker_ids/speaker_count
+    columns whose values must also survive kill/resume."""
     rows = read_parquet(os.path.join(dst, "Emilia", "EN", "EN_B00000.parquet"))
-    return {r["id"]: r["text"] for r in rows}
+    return {
+        r["id"]: {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in r.items()}
+        for r in rows
+    }
 
 
 @pytest.mark.slow
-def test_kill_anywhere_rerun_converges(tmp_path, rng):
+@pytest.mark.parametrize("mode", ["standard", "conversational"])
+def test_kill_anywhere_rerun_converges(tmp_path, rng, mode):
     src = build_source(tmp_path, rng)
+    extra = ["conversational"] if mode == "conversational" else []
 
-    rc, out = run_child([CHILD, src, str(tmp_path / "clean"), str(tmp_path / "cw")])
+    rc, out = run_child([CHILD, src, str(tmp_path / "clean"), str(tmp_path / "cw"), *extra])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = rows_of(str(tmp_path / "clean"))
-    assert len(ref) == 6 * 2  # speakers x (type1, type2)
+    if mode == "standard":
+        assert len(ref) == 6 * 2  # speakers x (type1, type2)
+    else:
+        assert len(ref) == 6  # type1 only (process_shard_conversational.py)
+        assert all(r["speaker_count"] >= 1 for r in ref.values())
 
     dst, work = str(tmp_path / "chaos"), str(tmp_path / "w")
 
@@ -63,9 +74,11 @@ def test_kill_anywhere_rerun_converges(tmp_path, rng):
         return os.path.isdir(work) and bool(os.listdir(work))
 
     kill_anywhere(
-        lambda k: run_child([CHILD, src, dst, work], kill_after=k, evidence=started),
+        lambda k: run_child([CHILD, src, dst, work, *extra], kill_after=k, evidence=started),
         midwork=started,
         delays=[0.2, 0.8, 1.6, 3.0],
     )
     got = rows_of(dst)
-    assert got == ref  # ids, texts, and in-document utterance order
+    # ids, texts, speaker columns, and in-document utterance order — the
+    # sorted-uid determinism a resume bug once broke (NOTES r2)
+    assert got == ref

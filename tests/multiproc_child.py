@@ -79,10 +79,13 @@ def main():
     )
 
     # ---- engine path: full list in, full codes out, sharded compute ------
+    # batch_size must divide the data axis; size it to the global device
+    # count so the same child works at 2x2 and 4x2 cluster shapes
+    n_dev = args.num_processes * args.local_devices
     engine = MimiEncoderEngine(
         params,
         cfg,
-        EngineConfig(batch_size=4, min_bucket_seconds=0.25, max_chunk_seconds=2.0),
+        EngineConfig(batch_size=max(4, n_dev), min_bucket_seconds=0.25, max_chunk_seconds=2.0),
         mesh=mesh,
     )
     audios = [full[i, : valid[i]] for i in range(B)]
@@ -100,7 +103,7 @@ def main():
         params,
         cfg,
         EngineConfig(
-            batch_size=4,
+            batch_size=max(4, n_dev),
             min_bucket_seconds=0.25,
             max_chunk_seconds=2 * spf / 24_000,
             long_audio_policy="stream",

@@ -1,8 +1,10 @@
 """Multi-process in-process slice DP, run FOR REAL (VERDICT r2 missing #3):
-2 CPU processes x 2 virtual devices each join one jax.distributed cluster;
-host-local rows go through host_local_to_global -> sharded encode ->
-local_rows, and the engine's multiprocess branch runs the same layout.
-Codes must equal this (single-)process's own encode bit for bit.
+2 and 4 CPU processes x 2 virtual devices each join one jax.distributed
+cluster; host-local rows go through host_local_to_global -> sharded encode
+-> local_rows, and the engine's multiprocess branch runs the same layout.
+Codes must equal this (single-)process's own encode bit for bit. The
+4-process shape pins per-host row spans of 2 (a different local/global
+decomposition than the 2x4 case) through the same code paths.
 """
 
 import os
@@ -15,7 +17,7 @@ import pytest
 
 from tests.mimi_fixtures import tiny_jax_config
 
-NPROC, LOCAL_DEV = 2, 2
+LOCAL_DEV = 2
 
 
 def _free_port() -> int:
@@ -24,9 +26,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def child_outputs(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("mp"))
+@pytest.fixture(scope="module", params=[2, 4], ids=["2proc", "4proc"])
+def child_outputs(request, tmp_path_factory):
+    nproc = request.param
+    out = str(tmp_path_factory.mktemp(f"mp{nproc}"))
     port = _free_port()
     child = os.path.join(os.path.dirname(__file__), "multiproc_child.py")
     env = {
@@ -37,7 +40,7 @@ def child_outputs(tmp_path_factory):
             [
                 sys.executable, child,
                 "--coordinator", f"localhost:{port}",
-                "--num-processes", str(NPROC),
+                "--num-processes", str(nproc),
                 "--process-id", str(i),
                 "--local-devices", str(LOCAL_DEV),
                 "--out", out,
@@ -47,12 +50,12 @@ def child_outputs(tmp_path_factory):
             text=True,
             env=env,
         )
-        for i in range(NPROC)
+        for i in range(nproc)
     ]
     logs = [p.communicate(timeout=600)[0] for p in procs]
     for i, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"child {i} failed:\n{log[-4000:]}"
-    return out
+    return out, nproc
 
 
 def _reference():
@@ -74,10 +77,11 @@ def _reference():
 
 
 def test_helpers_path_bit_equal(child_outputs):
+    out, nproc = child_outputs
     _, _, ref = _reference()
     rows = []
-    for i in range(NPROC):
-        rows.append(np.load(os.path.join(child_outputs, f"helpers_p{i}.npy")))
+    for i in range(nproc):
+        rows.append(np.load(os.path.join(out, f"helpers_p{i}.npy")))
     got = np.concatenate(rows, axis=0)
     assert got.shape == ref.shape
     assert (got == ref).all()
@@ -86,19 +90,21 @@ def test_helpers_path_bit_equal(child_outputs):
 def test_stream_policy_under_multiprocess(child_outputs):
     """long_audio_policy='stream' in a multi-process engine: every process
     streams locally from its replica and gets the one-shot-exact codes."""
+    out, nproc = child_outputs
     _, _, ref = _reference()
-    for i in range(NPROC):
-        got = np.load(os.path.join(child_outputs, f"stream_p{i}.npy"))
+    for i in range(nproc):
+        got = np.load(os.path.join(out, f"stream_p{i}.npy"))
         # row 0 is full-length (valid == T == 4 frames); streamed must
         # equal its one-shot codes exactly
         assert (got == ref[0]).all()
 
 
 def test_engine_path_bit_equal(child_outputs):
+    out, nproc = child_outputs
     full, valid, ref = _reference()
     spf = tiny_jax_config().samples_per_frame
-    for i in range(NPROC):
-        z = np.load(os.path.join(child_outputs, f"engine_p{i}.npz"))
+    for i in range(nproc):
+        z = np.load(os.path.join(out, f"engine_p{i}.npz"))
         # every process returns the FULL per-utterance code list
         assert len(z.files) == len(valid)
         for j in range(len(valid)):

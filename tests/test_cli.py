@@ -111,3 +111,24 @@ def test_encode_decode_roundtrip(tmp_path, rng, monkeypatch, capsys):
     assert main(["decode", codes_path, "-o", out_path]) == 0
     audio, sr = read_wav(out_path)
     assert sr == 24_000 and audio.shape == (3 * 1920,)
+
+
+def test_every_documented_cli_exists():
+    """Every `python -m tokenize_audio_tpu...` command the docs promise
+    (MIGRATION/OPERATIONS/README) must be a real module with a main() —
+    the migration table once promised a surgery CLI that didn't exist."""
+    import importlib
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    mods = set()
+    for doc in ("MIGRATION.md", "OPERATIONS.md", "README.md"):
+        with open(os.path.join(root, doc)) as f:
+            mods |= set(re.findall(r"python -m (tokenize_audio_tpu[\w.]*)", f.read()))
+    assert len(mods) >= 15, sorted(mods)  # the docs name the full CLI surface
+    for name in sorted(mods):
+        mod = importlib.import_module(
+            name + ".__main__" if name == "tokenize_audio_tpu" else name
+        )
+        assert hasattr(mod, "main"), f"{name} has no main()"

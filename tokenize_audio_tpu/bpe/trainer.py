@@ -207,3 +207,83 @@ def extend_tokenizer(
             replace_additional_special_tokens=False,
         )
     return base
+
+
+def main(argv=None):
+    """Train a codec-BPE tokenizer from sampled .npy code files — the
+    train_bpe_recipe.txt 16k/128k recipes as one command. ``--extend-base``
+    instead extends an existing text tokenizer with the audio alphabet
+    (recipe step 3)."""
+    import argparse
+    import json
+
+    from tokenize_audio_tpu.config import SPECIAL_TOKENS
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--codes-dir", help=".npy corpus dir (from bpe.sampler)")
+    ap.add_argument("--out-dir", required=True, help="tokenizer output dir")
+    ap.add_argument("--num-codebooks", type=int, default=8)
+    ap.add_argument("--codebook-size", type=int, default=2048)
+    ap.add_argument("--vocab-size", type=int, default=30_000)
+    ap.add_argument("--min-frequency", type=int, default=2)
+    ap.add_argument(
+        "--max-token-codebook-ngrams",
+        type=int,
+        help="bound merges to n full frames; 0 = alphabet-only (the 16k "
+        "no-merge recipe)",
+    )
+    ap.add_argument("--chunk-size-secs", type=int, help="split long streams for training")
+    ap.add_argument("--unicode-offset", type=lambda s: int(s, 0), default=UNICODE_OFFSET)
+    ap.add_argument("--eos-token", default=SPECIAL_TOKENS["eos"])
+    ap.add_argument("--bos-token")
+    ap.add_argument("--unk-token")
+    ap.add_argument("--pad-token")
+    ap.add_argument("--num-files", type=int, help="train on only the first N files")
+    ap.add_argument(
+        "--extend-base",
+        help="extend this existing tokenizer (name/path) with the audio "
+        "alphabet instead of training from scratch",
+    )
+    ap.add_argument(
+        "--pipeline-specials",
+        action="store_true",
+        help="add <|text_start|> <|text_end|> <|audio_start|> <|audio_end|>",
+    )
+    args = ap.parse_args(argv)
+
+    specials = (
+        [SPECIAL_TOKENS[k] for k in ("text_start", "text_end", "audio_start", "audio_end")]
+        if args.pipeline_specials
+        else []
+    )
+    if args.extend_base:
+        tok = extend_tokenizer(
+            args.extend_base,
+            args.num_codebooks,
+            args.codebook_size,
+            args.unicode_offset,
+            specials,
+        )
+    else:
+        if not args.codes_dir:
+            ap.error("--codes-dir is required unless --extend-base is given")
+        tok = CodecBPETrainer(
+            args.num_codebooks,
+            args.codebook_size,
+            chunk_size_secs=args.chunk_size_secs,
+            vocab_size=args.vocab_size,
+            min_frequency=args.min_frequency,
+            special_tokens=specials,
+            bos_token=args.bos_token,
+            eos_token=args.eos_token,
+            unk_token=args.unk_token,
+            pad_token=args.pad_token,
+            max_token_codebook_ngrams=args.max_token_codebook_ngrams,
+            unicode_offset=args.unicode_offset,
+        ).train(args.codes_dir, num_files=args.num_files)
+    tok.save_pretrained(args.out_dir)
+    print(json.dumps({"tokenizer_out": args.out_dir, "vocab_size": len(tok)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,11 +49,14 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
     from the first evidence of WORK, not from READY, because otherwise
     every kill can land in the post-READY compile window and the resume
     machinery is never actually exercised — then sleep ``kill_after``
-    seconds and SIGKILL. Returns ``(returncode, output)``; a killed run
-    returns ``(-9, "")``, and a child that dies before READY returns its
-    real exit code with everything it printed (the only diagnostic if
-    setup crashes). XLA_FLAGS is stripped from the environment so
-    children self-provision their own platform config.
+    seconds and SIGKILL. Returns ``(returncode, output, killed)`` where
+    ``killed`` is True only when THIS function sent the SIGKILL — a child
+    the kernel OOM-kills also exits with -9, and attributing that to the
+    test's own kill once turned an environment problem into an opaque
+    "kills never landed mid-work" failure. A child that dies before
+    READY returns its real exit code with everything it printed (the
+    only diagnostic if setup crashes). XLA_FLAGS is stripped from the
+    environment so children self-provision their own platform config.
     """
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     p = subprocess.Popen(
@@ -65,7 +68,7 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
     )
     if kill_after is None:
         out, _ = p.communicate(timeout=timeout)
-        return p.returncode, out.decode(errors="replace")
+        return p.returncode, out.decode(errors="replace"), False
     deadline = time.time() + timeout
     pre = b""
     if wait_ready:
@@ -79,9 +82,9 @@ def run_child(argv, kill_after=None, timeout=600, evidence=None, wait_ready=True
     if p.poll() is None:
         os.kill(p.pid, signal.SIGKILL)
         p.wait(timeout=30)
-        p.stdout.read()
-        return -9, ""
-    return p.returncode, (pre + p.stdout.read()).decode(errors="replace")
+        out = (pre + p.stdout.read()).decode(errors="replace")
+        return -9, out, True
+    return p.returncode, (pre + p.stdout.read()).decode(errors="replace"), False
 
 
 def kill_anywhere(run, midwork, delays, attempts=10, kill_attempts=6, done_token="DONE"):
@@ -101,20 +104,25 @@ def kill_anywhere(run, midwork, delays, attempts=10, kill_attempts=6, done_token
     """
     kills = midwork_kills = failures = 0
     rc, out = -1, ""
+    fail_tails = []
     for attempt in range(attempts):
         kill_after = delays[min(attempt, len(delays) - 1)] if attempt < kill_attempts else None
-        rc, out = run(kill_after)
+        rc, out, killed = run(kill_after)
         if rc == 0 and (done_token is None or done_token in out):
             break
-        if rc == -9:
+        if killed:
             kills += 1
             if midwork():
                 midwork_kills += 1
         else:
             failures += 1
+            fail_tails.append(f"[attempt {attempt} rc={rc}] {out[-800:]}")
     assert rc == 0, (
         f"never completed: {kills} kills, {failures} un-killed failures; "
-        f"last output tail: {out[-2000:]}"
+        f"failure tails: {fail_tails}; last output tail: {out[-2000:]}"
     )
-    assert kills == 0 or midwork_kills >= 1, "kills never landed after work started"
+    assert kills == 0 or midwork_kills >= 1, (
+        f"kills never landed after work started ({kills} kills, {failures} "
+        f"un-killed failures); failure tails: {fail_tails}"
+    )
     return kills

@@ -36,7 +36,7 @@ def _hub_docs(dst):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean = [str(tmp_path / f"clean_{d}") for d in ("src", "dst", "work", "prog")]
-    rc, out = run_child([CHILD, *clean])
+    rc, out, _ = run_child([CHILD, *clean])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref_docs = _hub_docs(clean[1])
     assert len(ref_docs) == 24  # 3 shards x 4 rows x (type1 + type2)

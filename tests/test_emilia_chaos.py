@@ -59,7 +59,7 @@ def test_kill_anywhere_rerun_converges(tmp_path, rng, mode):
     src = build_source(tmp_path, rng)
     extra = ["conversational"] if mode == "conversational" else []
 
-    rc, out = run_child([CHILD, src, str(tmp_path / "clean"), str(tmp_path / "cw"), *extra])
+    rc, out, _ = run_child([CHILD, src, str(tmp_path / "clean"), str(tmp_path / "cw"), *extra])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = rows_of(str(tmp_path / "clean"))
     if mode == "standard":

@@ -31,7 +31,7 @@ def _report(outpath):
 def test_kill_anywhere_rerun_converges(tmp_path):
     tokdir = str(tmp_path / "tok")  # shared: tokenizer build is idempotent
     clean_src, clean_out = str(tmp_path / "clean_src"), str(tmp_path / "clean.json")
-    rc, out = run_child([CHILD, clean_src, clean_out, tokdir])
+    rc, out, _ = run_child([CHILD, clean_src, clean_out, tokdir])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = _report(clean_out)
     assert len([k for k in ref if not k.startswith("_")]) == 24

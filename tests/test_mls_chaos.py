@@ -44,7 +44,7 @@ def _hub_docs(hub):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean = [str(tmp_path / f"clean_{d}") for d in ("s1", "prog", "hub", "w2")]
-    rc, out = run_child([CHILD, *clean])
+    rc, out, _ = run_child([CHILD, *clean])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref_tree = _stage1_tree(clean[0])
     assert len(ref_tree) == 40

@@ -87,7 +87,7 @@ def uploaded_rows(dst):
 def test_kill_anywhere_row_set_converges(tmp_path, rng):
     src = build_source(tmp_path, rng)
 
-    rc, out = run_cli(src, str(tmp_path / "clean"), str(tmp_path / "cw"), str(tmp_path / "cp"))
+    rc, out, _ = run_cli(src, str(tmp_path / "clean"), str(tmp_path / "cw"), str(tmp_path / "cp"))
     assert rc == 0, out[-2000:]
     ref = uploaded_rows(str(tmp_path / "clean"))
     # N_SUB subshards x ENTRIES_PER entries x 2 row types

@@ -45,7 +45,7 @@ def _hub_docs(base):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean = str(tmp_path / "clean")
-    rc, out = run_child([CHILD, clean])
+    rc, out, _ = run_child([CHILD, clean])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref_docs = _hub_docs(clean)
     # librispeech: 12 utts x 2 rows over 6 chunks; corpus: 3 shards x 6 x 2

@@ -33,7 +33,7 @@ def _npy_corpus(outdir):
 @pytest.mark.slow
 def test_kill_anywhere_rerun_converges(tmp_path):
     clean_src, clean_out = str(tmp_path / "clean_src"), str(tmp_path / "clean_out")
-    rc, out = run_child([CHILD, clean_src, clean_out])
+    rc, out, _ = run_child([CHILD, clean_src, clean_out])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = _npy_corpus(clean_out)
     assert len(ref) == 120  # 3 shards x per_shard=40 picks

@@ -38,7 +38,7 @@ def test_kill_anywhere_rerun_converges(tmp_path, rng):
 
     # uninterrupted reference run
     clean = {d: str(tmp_path / f"clean_{d}") for d in ("work", "prog", "hub")}
-    rc, out = run_child([CHILD, mirror, clean["work"], clean["prog"], clean["hub"]])
+    rc, out, _ = run_child([CHILD, mirror, clean["work"], clean["prog"], clean["hub"]])
     assert rc == 0 and "DONE" in out, out[-3000:]
     ref = _hub_contents(clean["hub"])
     assert len(ref) == 3

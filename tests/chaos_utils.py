@@ -117,7 +117,10 @@ def kill_anywhere(run, midwork, delays, attempts=10, kill_attempts=6, done_token
         else:
             failures += 1
             fail_tails.append(f"[attempt {attempt} rc={rc}] {out[-800:]}")
-    assert rc == 0, (
+    assert rc == 0 and (done_token is None or done_token in out), (
+        # rc == 0 alone is NOT completion: a resume bug that makes the
+        # child wrongly believe all work is done exits 0 without the
+        # done token, and the final attempt must not green-light that
         f"never completed: {kills} kills, {failures} un-killed failures; "
         f"failure tails: {fail_tails}; last output tail: {out[-2000:]}"
     )

@@ -32,6 +32,17 @@ def _stage1_tree(out1):
     return got
 
 
+def _stage1_any(out1):
+    """Cheap work-evidence probe: ANY stage-1 json exists. run_child polls
+    evidence every 20 ms — walking + json-parsing the whole tree there
+    (O(published data) per tick) would steal the CPU the child needs and
+    skew kill timing (see test_corpus_chaos.py's cheap-evidence note)."""
+    for root, _, files in os.walk(out1):
+        if any(f.endswith(".json") for f in files):
+            return True
+    return False
+
+
 def _hub_docs(hub):
     base = os.path.join(hub, "data")
     docs = {}
@@ -54,8 +65,8 @@ def test_kill_anywhere_rerun_converges(tmp_path):
 
     ch = [str(tmp_path / f"chaos_{d}") for d in ("s1", "prog", "hub", "w2")]
     kill_anywhere(
-        lambda k: run_child([CHILD, *ch], kill_after=k, evidence=lambda: _stage1_tree(ch[0])),
-        midwork=lambda: bool(_stage1_tree(ch[0]))
+        lambda k: run_child([CHILD, *ch], kill_after=k, evidence=lambda: _stage1_any(ch[0])),
+        midwork=lambda: _stage1_any(ch[0])
         or os.path.isdir(os.path.join(ch[2], "data")),
         delays=[0.2, 0.8, 1.6, 3.0],
     )

@@ -349,15 +349,17 @@ def test_pod_runner_walltime_kills_hung_job(tmp_path):
             "--shard-list", str(shard_list),
             "--max-concurrent", "1",  # hung job must free the only slot
             "--poll-seconds", "0.05",
-            # generous budget: the walltime clock starts at launch, so it
-            # must absorb interpreter startup on a loaded CI box
+            # the walltime clock starts at launch, so the budget must clear
+            # child startup; -S below skips sitecustomize (which imports
+            # jax and costs ~5 s in this environment — measured crossing a
+            # 5 s budget on a cold run, SIGTERMing the child pre-marker)
             "--walltime", "5.0",
             "--kill-grace", "5.0",
             "--run-dir", str(tmp_path / "run"),
             "--log-dir", str(tmp_path / "logs"),
             "--wait",
             "--",
-            sys.executable, "-c", code,
+            sys.executable, "-S", "-c", code,
         ]
     )
     wall = time.perf_counter() - t0
@@ -370,13 +372,19 @@ def test_pod_runner_walltime_kills_hung_job(tmp_path):
     assert json.load(open(tmp_path / "run" / "jobs.json")) == {}
 
 
-def test_pod_runner_walltime_sigkill_escalation(tmp_path):
+def test_pod_runner_walltime_sigkill_escalation(tmp_path, capsys):
     """A job that ignores SIGTERM is SIGKILLed after --kill-grace."""
     shard_list = tmp_path / "shards.txt"
     shard_list.write_text("stubborn\n")
+    marker = tmp_path / "armed"
+    # -S skips the ~5 s sitecustomize/jax import, so the handler installs
+    # milliseconds after launch — well inside the 3 s budget (else the
+    # TERM kills the bare child outright and the escalation branch this
+    # test exists to cover never runs)
     code = (
         "import signal, time; "
         "signal.signal(signal.SIGTERM, signal.SIG_IGN); "
+        f"open(r'{marker}','w').write('x'); "
         "time.sleep(120)"
     )
     t0 = time.perf_counter()
@@ -386,19 +394,20 @@ def test_pod_runner_walltime_sigkill_escalation(tmp_path):
             "--shard-list", str(shard_list),
             "--max-concurrent", "1",
             "--poll-seconds", "0.05",
-            # long enough that the child reliably installs its SIGTERM
-            # handler before the budget expires (else the TERM would kill
-            # it outright and never exercise the escalation)
             "--walltime", "3.0",
             "--kill-grace", "1.0",
             "--run-dir", str(tmp_path / "run"),
             "--log-dir", str(tmp_path / "logs"),
             "--wait",
             "--",
-            sys.executable, "-c", code,
+            sys.executable, "-S", "-c", code,
         ]
     )
     wall = time.perf_counter() - t0
     assert rc == 0
     assert wall < 60, f"SIGKILL escalation too slow ({wall:.1f}s)"
+    assert marker.exists(), "child never armed its SIGTERM handler"
+    # the escalation branch must actually have fired — without this the
+    # test can pass vacuously when the TERM kills a slow-starting child
+    assert "sending SIGKILL" in capsys.readouterr().out
     assert json.load(open(tmp_path / "run" / "jobs.json")) == {}

@@ -213,11 +213,17 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    src = args.tokenizer
+    renames = []
     for spec in args.rename:
         old, eq, new = spec.partition("=")
         if not eq or not old or not new:
+            # validate EVERY spec before performing ANY rename — erroring
+            # out mid-loop would leave a half-renamed tokenizer in out_dir
+            # that looks complete to a later pipeline step
             ap.error(f"--rename expects OLD=NEW, got {spec!r}")
+        renames.append((old, new))
+    src = args.tokenizer
+    for old, new in renames:
         rename_token_in_place(src, old, new, args.out_dir)
         src = args.out_dir
     if args.bos:

@@ -254,7 +254,18 @@ def run(args) -> int:
 
     rc = 0
     if args.wait:
-        while procs:
+        # wait for this runner's own children — and, when a walltime is
+        # set, keep policing ADOPTED jobs until they exit too: the budget
+        # is documented to survive runner restarts, and after a restart
+        # every shard is adopted (procs is empty), so a `while procs` loop
+        # would return immediately and a wedged adopted job would hold its
+        # chip forever.
+        def outstanding() -> bool:
+            if procs:
+                return True
+            return args.walltime is not None and bool(jobs)
+
+        while outstanding():
             poll()
             time.sleep(args.poll_seconds)
     print(f"[pod-runner] launched={launched} skipped={skipped}")

@@ -6,8 +6,9 @@ virtual devices = 4 global devices), then:
   1. helpers path: pushes its host-local rows through
      host_local_to_global -> mimi.model.encode -> local_rows;
   2. engine path: MimiEncoderEngine(mesh=global mesh) with the full
-     utterance list (SPMD-consistent planning; only the local span is
-     uploaded per process — engine._device_batch multiprocess branch).
+     utterance list (SPMD-consistent planning; each process materializes
+     only its devices' addressable shards — engine._device_batch
+     multiprocess branch), plus a dp<process_count tp-spanning mesh.
 
 Results are saved to --out for the parent to diff against its own
 single-process encode. Run only via the test driver.
@@ -93,6 +94,25 @@ def main():
     np.savez(
         os.path.join(args.out, f"engine_p{args.process_id}.npz"),
         **{str(i): c for i, c in enumerate(got)},
+    )
+
+    # ---- tp-spanning-hosts path: dp < process_count -----------------------
+    # (2 procs: dp=1 tp=4; 4 procs: dp=2 tp=4). Batch sizes must round to
+    # lcm(dp, process_count) — rounding only to dp would hand process_span
+    # a batch it cannot split evenly and silently drop the remainder rows
+    # (r3 review finding). An ODD 3-utterance list forces tail groups whose
+    # raw sizes (1-3) are not multiples of the process count.
+    tp_mesh = make_mesh(dp=n_dev // 4, tp=4)
+    teng = MimiEncoderEngine(
+        params,
+        cfg,
+        EngineConfig(batch_size=max(4, n_dev), min_bucket_seconds=0.25, max_chunk_seconds=2.0),
+        mesh=tp_mesh,
+    )
+    got3 = teng.encode_batch([full[i, : valid[i]] for i in range(3)])
+    np.savez(
+        os.path.join(args.out, f"tp_engine_p{args.process_id}.npz"),
+        **{str(i): c for i, c in enumerate(got3)},
     )
 
     # stream policy under multiprocess: the per-process streaming encoder

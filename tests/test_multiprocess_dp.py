@@ -99,6 +99,22 @@ def test_stream_policy_under_multiprocess(child_outputs):
         assert (got == ref[0]).all()
 
 
+def test_tp_spanning_hosts_engine_bit_equal(child_outputs):
+    """Engine over a tp-majority mesh where dp < process_count (2 procs:
+    dp=1 tp=4; 4 procs: dp=2 tp=4): tail batches must round to
+    lcm(dp, process_count) so process_span splits them evenly — before the
+    r3 fix the remainder rows of an odd group were silently never encoded."""
+    full, valid, ref = _reference()
+    out, nproc = child_outputs
+    spf = tiny_jax_config().samples_per_frame
+    for i in range(nproc):
+        z = np.load(os.path.join(out, f"tp_engine_p{i}.npz"))
+        assert len(z.files) == 3
+        for j in range(3):
+            f = -(-int(valid[j]) // spf)
+            assert (z[str(j)] == ref[j, :, :f]).all()
+
+
 def test_engine_path_bit_equal(child_outputs):
     out, nproc = child_outputs
     full, valid, ref = _reference()

@@ -145,12 +145,19 @@ class MimiEncoderEngine:
             )
         self._batch_sharding = None
         self._multiprocess = False
+        self._batch_multiple = 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from tokenize_audio_tpu.parallel.mesh import batch_sharding, replicate_params
 
             dp = mesh.shape.get("data", 1)
+            # every batch must split evenly over the data axis (shard-
+            # materializing upload and the per-row trim both assume uniform
+            # row blocks); process count needs no extra constraint — the
+            # multiprocess upload materializes addressable shards from the
+            # full planned batch, valid for any (data, model) decomposition
+            self._batch_multiple = dp
             if self.engine_cfg.batch_size % dp != 0:
                 raise ValueError(
                     f"batch_size {self.engine_cfg.batch_size} must divide evenly "
@@ -199,16 +206,22 @@ class MimiEncoderEngine:
 
     def _device_batch(self, batch: np.ndarray, lengths: np.ndarray):
         if self._multiprocess:
-            # each process uploads ONLY its span of the (identically
-            # planned) global batch; no audio bytes cross hosts
-            from tokenize_audio_tpu.parallel.multihost import (
-                host_local_to_global,
-                process_span,
+            # every process holds the SAME planned full batch (SPMD-
+            # consistent planning), so materialize exactly each device's
+            # addressable shard from it — correct for ANY (data, model)
+            # decomposition, including tp spanning hosts where neighbor
+            # processes hold REPLICAS of one data block. (A fixed
+            # process-span upload through make_array_from_process_local_data
+            # mis-assembles there: the global shape is inferred from the
+            # local rows, silently shrinking the batch — caught by the
+            # dp=2 tp=4 x 4-process cluster test.) No audio crosses hosts;
+            # each process uploads only the rows its own devices must hold.
+            b = jax.make_array_from_callback(
+                batch.shape, self._batch_sharding, lambda i: batch[i]
             )
-
-            s, e = process_span(batch.shape[0])
-            b = host_local_to_global(batch[s:e], self.mesh)
-            v = host_local_to_global(lengths[s:e], self.mesh)
+            v = jax.make_array_from_callback(
+                lengths.shape, self._batch_sharding, lambda i: lengths[i]
+            )
         elif self._batch_sharding is not None:
             # device_put straight from numpy with the sharding: asarray()
             # first would commit to the default device and reshard — two
@@ -235,14 +248,15 @@ class MimiEncoderEngine:
         resample (rows are at the source rate); ``budget_len`` is the
         POST-resample length used for the activation-memory samples budget
         (defaults to bucket)."""
-        dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         group = list(utterances)
         n_real = len(group)
         # static tail-ladder batch size >= n_real (bounded program set per
-        # bucket, dp axis divides evenly, minimal padded-row waste — see
-        # EngineConfig.batch_size_for_group)
+        # bucket, dp axis and process spans divide evenly, minimal padded-
+        # row waste — see EngineConfig.batch_size_for_group)
         bs = self.engine_cfg.batch_size_for_group(
-            budget_len if budget_len is not None else bucket, n_real, multiple_of=dp
+            budget_len if budget_len is not None else bucket,
+            n_real,
+            multiple_of=self._batch_multiple,
         )
         # pad rows match the group's dtype so an all-int16 group keeps the
         # narrow-transfer fast path (pad_to_bucket falls back to f32 on mix)
@@ -476,11 +490,12 @@ class MimiEncoderEngine:
             while j < len(order) and len(pieces[order[j]]) <= bucket:
                 group_idx.append(order[j])
                 j += 1
-            dp = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
             # the samples budget bounds POST-resample activation memory, so
             # size batches by the resampled length, not the source length
             budget_len = bucket if resample_arg is None else bucket * up // down
-            bs = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=dp)
+            bs = self.engine_cfg.batch_size_for_bucket(
+                budget_len, multiple_of=self._batch_multiple
+            )
             for s in range(0, len(group_idx), bs):
                 jobs.append((bucket, budget_len, group_idx[s : s + bs]))
 
@@ -624,24 +639,24 @@ class MimiEncoderEngine:
         warmed."""
         resample_arg, spf_io, domain_sr = self._resample_plan(sr)
         buckets = self._buckets_for(domain_sr, spf_io)
-        dp = self.mesh.shape.get("data", 1) if self.mesh else 1
+        mult = self._batch_multiple
         handles = []
         warmed = 0
         for bucket in buckets:
             budget_len = (
                 bucket if resample_arg is None else bucket * resample_arg[0] // resample_arg[1]
             )
-            full = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=dp)
+            full = self.engine_cfg.batch_size_for_bucket(budget_len, multiple_of=mult)
             # dispatch one REPRESENTATIVE group size per reachable program:
             # _dispatch maps n_real through batch_size_for_group, so warming
             # with the rounded batch size itself could re-round onto a
-            # different program when dp is not ladder-aligned
+            # different program when the multiple is not ladder-aligned
             reps = {full: full}
             if include_tails:
                 for n in range(1, full + 1):
                     reps.setdefault(
                         self.engine_cfg.batch_size_for_group(
-                            budget_len, n, multiple_of=dp
+                            budget_len, n, multiple_of=mult
                         ),
                         n,
                     )

@@ -17,15 +17,21 @@ cross-host copy of audio data) and reads back only its addressable rows —
 codes never cross DCN; only XLA's ICI collectives run inside the step.
 
 The engine's multiprocess branch (``MimiEncoderEngine._device_batch``)
-builds on these helpers with one deliberate difference: every process
-passes the same full utterance list (keeping the collective program
-launches SPMD-consistent), uploads only its own row span, and the tiny
-code arrays all-gather back so every host returns the full result.
+uses a different upload model: every process passes the same full
+utterance list (keeping the collective program launches SPMD-consistent)
+and materializes each local device's addressable shard straight from the
+planned batch via ``jax.make_array_from_callback`` — valid for ANY
+(data, model) decomposition, including tp spanning hosts where neighbor
+processes hold replicas of one data block (a row-span upload through
+``host_local_to_global`` mis-assembles there: the global shape is
+inferred from the local rows). The tiny code arrays all-gather back so
+every host returns the full result. The helpers below remain the right
+tool for the pure-DP layout where each host feeds distinct rows.
 
-Exercised FOR REAL — 2 processes x 2 virtual CPU devices under
-``jax.distributed`` — by tests/test_multiprocess_dp.py: both the raw
-helpers path and the engine branch are pinned bit-equal to a
-single-process encode.
+Exercised FOR REAL — 2 and 4 processes x 2 virtual CPU devices under
+``jax.distributed`` — by tests/test_multiprocess_dp.py: the raw helpers
+path, the engine branch, and the dp<process_count tp-spanning engine are
+all pinned bit-equal to a single-process encode.
 """
 
 from __future__ import annotations
@@ -94,9 +100,17 @@ def local_rows(global_array) -> np.ndarray:
 
 def process_span(n_global_rows: int) -> tuple[int, int]:
     """[start, stop) row range this process owns of an evenly batch-sharded
-    global axis."""
+    global axis. The batch MUST divide evenly over the processes (the
+    engine sizes every batch to a multiple of lcm(dp, process_count));
+    flooring a remainder away here would silently never encode those rows."""
     import jax
 
-    per = n_global_rows // jax.process_count()
+    per, rem = divmod(n_global_rows, jax.process_count())
+    if rem:
+        raise ValueError(
+            f"batch of {n_global_rows} rows does not divide evenly over "
+            f"{jax.process_count()} processes; size batches to a multiple "
+            "of the process count"
+        )
     start = per * jax.process_index()
     return start, start + per

@@ -655,3 +655,39 @@ def test_engine_stream_fault_retry(tiny_oracle, rng, monkeypatch):
     got = eng.encode_batch(audios)
     assert (got[0] == ref[0]).all()
     assert eng.stats.transient_retries == 1
+
+
+def test_engine_autotune_transfer(tiny_oracle, rng):
+    """autotune_transfer probes the eligible wire formats on this fabric,
+    keeps the fastest, and is numerically invisible: codes after the
+    switch are bit-equal to a fresh engine pinned to the chosen format,
+    and throughput stats never see the probe workload."""
+    model, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    stats_before = eng.stats
+    chosen = eng.autotune_transfer(seconds=3.0, rounds=1)
+    assert chosen in ("packed", "padded", "compact")
+    assert eng.engine_cfg.code_transfer_format == chosen
+    assert set(eng.last_autotune) >= {"packed", "padded"}
+    # probe passes must not pollute the engine's throughput accounting
+    assert eng.stats is stats_before and eng.stats.utterances == 0
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (5000, 19200)]
+    got = eng.encode_batch(audios)
+    import dataclasses
+
+    pinned = MimiEncoderEngine(
+        params, cfg, dataclasses.replace(ecfg, code_transfer_format=chosen)
+    )
+    for g, p in zip(got, pinned.encode_batch(audios)):
+        assert (g == p).all()
+
+
+def test_engine_autotune_transfer_multiprocess_refused(tiny_oracle):
+    """SPMD multiprocess engines must not self-tune (per-process timing
+    could desync the collective program schedule across processes)."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(params, cfg, EngineConfig(batch_size=8))
+    eng._multiprocess = True
+    with pytest.raises(RuntimeError, match="multiprocess"):
+        eng.autotune_transfer(seconds=0.5, rounds=1)

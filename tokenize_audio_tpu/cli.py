@@ -41,9 +41,20 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--code-transfer-format",
         default=None,
-        choices=["padded", "packed", "compact"],
+        choices=["padded", "packed", "compact", "auto"],
         help="device->host code wire format (default EngineConfig default; "
-        "see config.py — 'compact' fetches only packed valid frames)",
+        "see config.py — 'compact' fetches only packed valid frames). "
+        "'auto' probes the eligible formats on THIS fabric with an "
+        "interleaved A/B at startup and keeps the fastest (the ranking is "
+        "fabric-dependent: packed wins on latency-bound tunnels, compact "
+        "on byte-bound local fabrics)",
+    )
+    ap.add_argument(
+        "--autotune-seconds",
+        type=float,
+        default=40.0,
+        help="with --code-transfer-format auto: seconds of synthetic audio "
+        "per probe pass (smaller = faster startup, noisier pick)",
     )
     ap.add_argument(
         "--profile-dir",
@@ -103,7 +114,8 @@ def engine_from_args(
         params = random_params(cfg)
     if getattr(args, "growth", None) is not None:
         engine_overrides.setdefault("bucket_growth", args.growth)
-    if getattr(args, "code_transfer_format", None) is not None:
+    autotune = getattr(args, "code_transfer_format", None) == "auto"
+    if getattr(args, "code_transfer_format", None) is not None and not autotune:
         engine_overrides.setdefault("code_transfer_format", args.code_transfer_format)
     ecfg = EngineConfig(
         batch_size=args.batch_size,
@@ -139,4 +151,8 @@ def engine_from_args(
             for sr in (24_000, 16_000, 48_000)
         )
         logging.getLogger(__name__).info("warmed %d bucket programs", n)
+    if autotune:
+        # probe AFTER warmup so the steady-state programs of the default
+        # format are already compiled; the probe warms its own candidates
+        engine.autotune_transfer(seconds=getattr(args, "autotune_seconds", 40.0))
     return engine

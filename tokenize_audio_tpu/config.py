@@ -128,7 +128,9 @@ class EngineConfig:
     # padded 640x (596-660) vs compact 607x — compact fetches the fewest
     # bytes (0.78 s vs 1.43 s) but its extra per-batch prefix dispatch
     # costs ~2x the savings on a latency-bound tunnel. Re-probe per
-    # fabric: on local-PCIe fabrics compact's byte savings should win.
+    # fabric: on local-PCIe fabrics compact's byte savings should win —
+    # MimiEncoderEngine.autotune_transfer() (CLI --code-transfer-format
+    # auto) runs that probe at provisioning time and keeps the winner.
     code_transfer_format: str = "packed"
 
     @property

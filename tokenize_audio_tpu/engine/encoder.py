@@ -624,6 +624,92 @@ class MimiEncoderEngine:
             )
         return cache[b]
 
+    def autotune_transfer(
+        self,
+        seconds: float = 40.0,
+        rounds: int = 3,
+        seed: int = 0,
+    ) -> str:
+        """Pick the fastest ``code_transfer_format`` for THIS fabric by a
+        within-process interleaved A/B, then switch the engine to it.
+
+        The format ranking is fabric-dependent (NOTES r3: packed wins on
+        the latency-bound tunnel, compact's byte savings should win on
+        local PCIe), so production guidance is "re-probe per fabric" —
+        this method IS that probe, runnable at provisioning time right
+        after :meth:`warmup` (CLI ``--code-transfer-format auto``).
+
+        Measures ``rounds`` interleaved encode passes over a seeded
+        bench-like lognormal int16 workload of ``seconds`` of audio per
+        pass (one unmeasured warm pass per format first, so compiles —
+        one-time under the persistent cache — never contaminate the
+        timings), and keeps the best median. Encode is stateless, so
+        switching formats only changes the wire layout; codes are
+        bit-equal across formats (pinned by tests). Engine throughput
+        stats are untouched. Returns the chosen format; per-format
+        median seconds land in ``self.last_autotune``.
+        """
+        import time
+
+        if self._multiprocess:
+            raise RuntimeError(
+                "autotune_transfer times per-process; SPMD multiprocess "
+                "engines must set code_transfer_format explicitly (every "
+                "process must dispatch the same programs)"
+            )
+        candidates = ["packed", "padded"]
+        if self.num_codebooks % 2 != 0:
+            candidates = ["padded"]
+        elif self.masked and self.mesh is None:
+            candidates.append("compact")
+        rng = np.random.default_rng(seed)
+        sr = self.engine_cfg.sample_rate
+        utts: List[np.ndarray] = []
+        total = 0.0
+        max_dur = min(25.0, self.engine_cfg.max_chunk_seconds)
+        while total < seconds:
+            dur = float(np.clip(rng.lognormal(1.7, 0.9), 0.5, max_dur))
+            utts.append(
+                rng.integers(-4000, 4000, int(dur * sr), dtype=np.int16)
+            )
+            total += dur
+        saved_stats, saved_cfg = self.stats, self.engine_cfg
+        self.stats = EngineStats()
+        timings: dict = {f: [] for f in candidates}
+        try:
+            for f in candidates:  # unmeasured warm pass: compiles
+                self._set_transfer_format(f)
+                self.encode_batch(utts, sr=sr)
+            for _ in range(max(1, rounds)):
+                for f in candidates:
+                    self._set_transfer_format(f)
+                    t0 = time.perf_counter()
+                    self.encode_batch(utts, sr=sr)
+                    timings[f].append(time.perf_counter() - t0)
+        except Exception:
+            # leave the engine exactly as configured before the probe
+            self.engine_cfg = saved_cfg
+            raise
+        finally:
+            self.stats = saved_stats
+        medians = {
+            f: sorted(ts)[len(ts) // 2] for f, ts in timings.items()
+        }
+        self.last_autotune = medians
+        best = min(candidates, key=lambda f: medians[f])
+        self._set_transfer_format(best)
+        logger.info(
+            "autotune_transfer picked %r (medians: %s)",
+            best,
+            {f: f"{m:.3f}s" for f, m in medians.items()},
+        )
+        return best
+
+    def _set_transfer_format(self, fmt: str) -> None:
+        self.engine_cfg = dataclasses.replace(
+            self.engine_cfg, code_transfer_format=fmt
+        )
+
     def warmup(self, sr: int = 24_000, include_tails: bool = False) -> int:
         """Precompile the steady-state program set: one full-batch encode
         per bucket of the ``sr`` lattice (the fused-resample lattice when

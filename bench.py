@@ -19,12 +19,40 @@ runs skip pass-1 compiles too.
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
 
+_T0 = time.time()
+_STAGE = {"name": "starting"}
+
+
+def _hb(stage: str) -> None:
+    """Stage-transition heartbeat to stderr: makes a driver-killed run
+    diagnosable (wedged chip claim = heartbeats stop advancing past
+    'device_claim'; compiling = 'warmup' with elapsed ticking up)."""
+    _STAGE["name"] = stage
+    print(
+        json.dumps({"hb": stage, "elapsed_s": round(time.time() - _T0, 1)}),
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def _start_heartbeat_thread(period_s: float = 30.0) -> None:
+    def tick():
+        while True:
+            time.sleep(period_s)
+            _hb(_STAGE["name"])
+
+    threading.Thread(target=tick, daemon=True).start()
+
 
 def main():
+    _start_heartbeat_thread()
+    _hb("imports")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
     import jax
 
@@ -37,6 +65,7 @@ def main():
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import random_params
 
+    _hb("params")
     cfg = MimiConfig()
     params = random_params(cfg, seed=0)
     ecfg = EngineConfig(
@@ -58,11 +87,16 @@ def main():
     ]
     total_audio_s = sum(len(a) for a in audios) / 24_000.0
 
+    # first device touch happens inside this pass: a chip claim + compile
+    # through the tunnel. With the persistent cache this is seconds; cold
+    # it is minutes; a WEDGED claim stays here with elapsed_s climbing.
+    _hb("device_claim+warmup")
     engine.encode_batch(audios)  # pass 1: compile + warm every bucket shape
 
     passes = []
     best_stats = None
-    for _ in range(5):
+    for i in range(5):
+        _hb(f"measured_pass_{i + 1}")
         engine.stats = EngineStats()
         t0 = time.perf_counter()
         codes = engine.encode_batch(audios)  # measured steady-state pass
@@ -87,6 +121,7 @@ def main():
     ]
     total16_s = sum(len(a) for a in audios16) / 16_000.0
     engine.stats = EngineStats()  # keep the 16k passes out of best_stats
+    _hb("fused_16k")
     engine.encode_batch(audios16, sr=16_000)  # warm fused-16k shapes
     t0 = time.perf_counter()
     engine.encode_batch(audios16, sr=16_000)
@@ -123,13 +158,25 @@ def watchdog():
     where an immediate plain retry finished in ~4 min — OPERATIONS.md §1).
     A normal run takes single-digit minutes even with cold compiles, so a
     stalled child is killed at the deadline and the benchmark retried in a
-    fresh process, which gets a fresh claim. Disable with
-    TOKENIZE_AUDIO_BENCH_WATCHDOG=0 (then main() runs in-process).
+    fresh process, which gets a fresh claim.
+
+    The ladder MUST fit the caller's window: the r3 ladder (1500 s +
+    2700 s) exceeded the driver's timeout and a wedged attempt 1 left the
+    round with no official number (VERDICT r3 weak #1). 900 s + 900 s
+    keeps both attempts plus a healthy run inside a 30-45 min window;
+    override with TOKENIZE_AUDIO_BENCH_DEADLINES="a,b". The child's
+    stderr heartbeats (one JSON line per stage + a 30 s ticker) pass
+    through, so a killed attempt's tail shows WHERE it stalled. Disable
+    with TOKENIZE_AUDIO_BENCH_WATCHDOG=0 (then main() runs in-process).
     """
     import subprocess
     import sys
 
-    for deadline_s in (1500, 2700):
+    deadlines = tuple(
+        int(x)
+        for x in os.environ.get("TOKENIZE_AUDIO_BENCH_DEADLINES", "900,900").split(",")
+    )
+    for deadline_s in deadlines:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
@@ -145,7 +192,7 @@ def watchdog():
         sys.stdout.buffer.write(proc.stdout)
         sys.stdout.flush()
         raise SystemExit(proc.returncode)
-    raise SystemExit("bench stalled on both attempts")
+    raise SystemExit("bench stalled on all attempts")
 
 
 if __name__ == "__main__":

@@ -132,3 +132,71 @@ def test_every_documented_cli_exists():
             name + ".__main__" if name == "tokenize_audio_tpu" else name
         )
         assert hasattr(mod, "main"), f"{name} has no main()"
+
+
+def test_pipeline_depth_and_autodata_flag_plumbing(monkeypatch):
+    """--pipeline-depth N reaches the engine; 'auto' runs the depth probe
+    at startup; 'auto-data' + --code-transfer-format auto-data defer the
+    probes to the first real batch via request_autotune."""
+    import argparse
+
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+
+    eng = engine_from_args(ap.parse_args(["--pipeline-depth", "5"]))
+    assert eng.pipeline_depth == 5
+
+    calls = {}
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "autotune_pipeline_depth",
+        lambda self, **kw: calls.setdefault("depth", kw) or 7,
+    )
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "autotune_transfer",
+        lambda self, **kw: calls.setdefault("transfer", kw) or "packed",
+    )
+    engine_from_args(
+        ap.parse_args(["--pipeline-depth", "auto", "--autotune-seconds", "2.5"])
+    )
+    assert calls["depth"]["seconds"] == 2.5 and "transfer" not in calls
+
+    eng = engine_from_args(
+        ap.parse_args(
+            ["--pipeline-depth", "auto-data", "--code-transfer-format", "auto-data"]
+        )
+    )
+    pa = eng._pending_autotune
+    assert pa and pa["transfer"] and pa["depth"]
+
+
+def test_warmup_reruns_after_autotune_format_switch(monkeypatch):
+    """--warmup + --code-transfer-format auto: if the probe switches the
+    format, the full lattices are re-warmed for the CHOSEN format so the
+    first shard stays compile-free (ADVICE r3)."""
+    import argparse
+
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+    warm_calls = []
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "warmup",
+        lambda self, sr=24_000, include_tails=False: warm_calls.append(sr) or 0,
+    )
+
+    def fake_tune(self, **kw):
+        self._set_transfer_format("padded")  # switch away from the default
+        return "padded"
+
+    monkeypatch.setattr(MimiEncoderEngine, "autotune_transfer", fake_tune)
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    engine_from_args(ap.parse_args(["--warmup", "--code-transfer-format", "auto"]))
+    # one full warmup before the probe + one re-warm after the switch
+    assert warm_calls == [24_000, 16_000, 48_000] * 2

@@ -691,3 +691,75 @@ def test_engine_autotune_transfer_multiprocess_refused(tiny_oracle):
     eng._multiprocess = True
     with pytest.raises(RuntimeError, match="multiprocess"):
         eng.autotune_transfer(seconds=0.5, rounds=1)
+
+
+def test_engine_autotune_on_samples(tiny_oracle, rng):
+    """autotune_transfer(samples=...) probes the caller's REAL utterances
+    (capped to the seconds budget) instead of the synthetic lognormal, and
+    the switch stays numerically invisible."""
+    model, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    samples = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (9000, 30000, 52000)]
+    chosen = eng.autotune_transfer(seconds=2.0, rounds=1, samples=samples)
+    assert chosen in ("packed", "padded", "compact")
+    assert set(eng.last_autotune) >= {"packed", "padded"}
+    got = eng.encode_batch(samples)
+    for a, g in zip(samples, got):
+        assert (g == ref_codes(model, a)).all()
+
+
+def test_engine_autotune_pipeline_depth(tiny_oracle, rng):
+    """autotune_pipeline_depth picks a depth from the candidate set, keeps
+    codes bit-equal, and records per-depth medians."""
+    model, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (5000, 19200, 40000)]
+    ref = eng.encode_batch(audios)
+    best = eng.autotune_pipeline_depth(depths=(1, 2), seconds=2.0, rounds=1)
+    assert best in (1, 2)
+    assert eng.pipeline_depth == best
+    assert set(eng.last_autotune_depth) == {1, 2}
+    got = eng.encode_batch(audios)
+    for r, g in zip(ref, got):
+        assert (g == r).all()
+    with pytest.raises(ValueError, match="depths"):
+        eng.autotune_pipeline_depth(depths=(0,), seconds=0.5, rounds=1)
+
+
+def test_engine_request_autotune_defers_to_first_batch(tiny_oracle, rng):
+    """request_autotune probes on the FIRST encode_batch call's own
+    utterances, then encodes that batch with the chosen config — results
+    bit-equal to an untuned engine."""
+    model, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    eng.request_autotune(transfer=True, depth=True, seconds=1.5, rounds=1, depths=(1, 2))
+    assert eng._pending_autotune is not None
+    assert not eng.last_autotune  # nothing probed yet
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (7000, 21000)]
+    got = eng.encode_batch(audios)
+    assert eng._pending_autotune is None
+    assert eng.last_autotune and eng.last_autotune_depth
+    for a, g in zip(audios, got):
+        assert (g == ref_codes(model, a)).all()
+    # stats reflect only the real batch, not the probe passes
+    assert eng.stats.utterances == 2
+
+
+def test_engine_autotune_single_candidate_skips_probe(tiny_oracle, monkeypatch):
+    """An odd-codebook engine has exactly one legal format; the probe is
+    skipped entirely instead of burning timed passes on a forced choice
+    (ADVICE r3)."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=2, min_bucket_seconds=0.5), num_codebooks=1
+    )
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "_interleaved_ab",
+        lambda *a, **k: pytest.fail("probe must not run for a single candidate"),
+    )
+    assert eng.autotune_transfer(seconds=5.0) == "padded"
+    assert eng.engine_cfg.code_transfer_format == "padded"

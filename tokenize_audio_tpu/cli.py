@@ -41,19 +41,30 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--code-transfer-format",
         default=None,
-        choices=["padded", "packed", "compact", "auto"],
+        choices=["padded", "packed", "compact", "auto", "auto-data"],
         help="device->host code wire format (default EngineConfig default; "
         "see config.py — 'compact' fetches only packed valid frames). "
         "'auto' probes the eligible formats on THIS fabric with an "
         "interleaved A/B at startup and keeps the fastest (the ranking is "
-        "fabric-dependent: packed wins on latency-bound tunnels, compact "
-        "on byte-bound local fabrics)",
+        "fabric-dependent: packed wins on latency-bound tunnels; 'compact' "
+        "is an experiment only ever reachable through this probe — it has "
+        "never won a measured A/B, NOTES r3/r4). 'auto-data' defers the "
+        "probe to the first REAL batch and times the shard's own "
+        "utterances instead of a synthetic workload",
+    )
+    ap.add_argument(
+        "--pipeline-depth",
+        default=None,
+        help="in-flight device batches (int; engine default 12). 'auto' "
+        "probes {6,12,18} on a synthetic workload at startup; 'auto-data' "
+        "probes on the first real batch. Depth hides per-dispatch RTTs — "
+        "worth +30%% on a tunneled fabric, ~nothing locally",
     )
     ap.add_argument(
         "--autotune-seconds",
         type=float,
         default=40.0,
-        help="with --code-transfer-format auto: seconds of synthetic audio "
+        help="with an auto/auto-data format or depth: seconds of audio "
         "per probe pass (smaller = faster startup, noisier pick)",
     )
     ap.add_argument(
@@ -114,9 +125,13 @@ def engine_from_args(
         params = random_params(cfg)
     if getattr(args, "growth", None) is not None:
         engine_overrides.setdefault("bucket_growth", args.growth)
-    autotune = getattr(args, "code_transfer_format", None) == "auto"
-    if getattr(args, "code_transfer_format", None) is not None and not autotune:
-        engine_overrides.setdefault("code_transfer_format", args.code_transfer_format)
+    fmt_arg = getattr(args, "code_transfer_format", None)
+    if fmt_arg is not None and fmt_arg not in ("auto", "auto-data"):
+        engine_overrides.setdefault("code_transfer_format", fmt_arg)
+    depth_arg = getattr(args, "pipeline_depth", None)
+    depth_kw = {}
+    if depth_arg is not None and depth_arg not in ("auto", "auto-data"):
+        depth_kw["pipeline_depth"] = int(depth_arg)
     ecfg = EngineConfig(
         batch_size=args.batch_size,
         samples_per_batch=getattr(args, "samples_per_batch", None),
@@ -138,8 +153,9 @@ def engine_from_args(
                 pass  # already stopped explicitly
 
         atexit.register(_stop_trace)
-    engine = MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks)
-    if getattr(args, "warmup", False):
+    engine = MimiEncoderEngine(params, cfg, ecfg, num_codebooks=num_codebooks, **depth_kw)
+
+    def run_warmup() -> None:
         # warm every standard corpus rate's lattice: 24 kHz (YODAS2/
         # Emilia/LibriTTS), 16 kHz (LibriSpeech/MLS — the fused-resample
         # SOURCE-rate lattice is a different program set), 48 kHz (Common
@@ -151,8 +167,28 @@ def engine_from_args(
             for sr in (24_000, 16_000, 48_000)
         )
         logging.getLogger(__name__).info("warmed %d bucket programs", n)
-    if autotune:
-        # probe AFTER warmup so the steady-state programs of the default
-        # format are already compiled; the probe warms its own candidates
-        engine.autotune_transfer(seconds=getattr(args, "autotune_seconds", 40.0))
+
+    warmup = getattr(args, "warmup", False)
+    if warmup:
+        # warm BEFORE the probe so steady-state programs of the default
+        # format never contaminate probe timings as cold compiles
+        run_warmup()
+    probe_s = getattr(args, "autotune_seconds", 40.0)
+    if fmt_arg == "auto" or depth_arg == "auto":
+        fmt_before = engine.engine_cfg.code_transfer_format
+        if fmt_arg == "auto":
+            engine.autotune_transfer(seconds=probe_s)
+        if depth_arg == "auto":
+            engine.autotune_pipeline_depth(seconds=probe_s)
+        if warmup and engine.engine_cfg.code_transfer_format != fmt_before:
+            # the probe only warmed the chosen format's shapes for ITS
+            # durations; re-warm the full lattices so the first real
+            # shard stays compile-free (ADVICE r3)
+            run_warmup()
+    if fmt_arg == "auto-data" or depth_arg == "auto-data":
+        engine.request_autotune(
+            transfer=fmt_arg == "auto-data",
+            depth=depth_arg == "auto-data",
+            seconds=probe_s,
+        )
     return engine

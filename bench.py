@@ -3,18 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.json): >50x real-time per v5e chip.
 
-Runs the full engine path (bucketing, samples-budget batching, masked
-encode, trim) on a seeded synthetic workload whose length distribution
-mimics web speech (lognormal ~2-20 s, capped at 60 s) — the shape of work
-the reference feeds its GPUs. Audio is int16 PCM, the production wire
-format (YODAS2 WAV tars / LibriSpeech FLAC are 16-bit): the engine ships
-raw PCM to the device and normalizes on-chip (exact x/32768, bit-identical
-codes), halving host->device bytes. Pass 1 warms every compiled shape;
-then 5 measured passes, best reported (production shards run for hours at
-steady state, and the tunneled fabric here swings +-40% run to run — the
-best pass is the least-noise estimate of the chip's capability; all passes
-are in detail.pass_x_realtime). A persistent XLA compile cache makes later
-runs skip pass-1 compiles too.
+This is the driver entry point; the benchmark itself lives in the package
+(``tokenize_audio_tpu.benchmark.run_engine_bench`` — also runnable as
+``python -m tokenize_audio_tpu.benchmark``, and ``--pipeline`` for the
+full end-to-end production path). This wrapper adds what the DRIVER
+needs: a stall watchdog (a tunneled chip claim can wedge server-side with
+zero output) and stage heartbeats on stderr so a killed attempt's tail
+shows where it stalled. A persistent XLA compile cache makes every run
+after the first compile-free.
 """
 
 import json
@@ -22,8 +18,6 @@ import os
 import sys
 import threading
 import time
-
-import numpy as np
 
 _T0 = time.time()
 _STAGE = {"name": "starting"}
@@ -59,94 +53,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from tokenize_audio_tpu.config import EngineConfig
-    from tokenize_audio_tpu.engine import MimiEncoderEngine
-    from tokenize_audio_tpu.engine.metrics import EngineStats
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import random_params
+    from tokenize_audio_tpu.benchmark import run_engine_bench
 
-    _hb("params")
-    cfg = MimiConfig()
-    params = random_params(cfg, seed=0)
-    ecfg = EngineConfig(
-        min_bucket_seconds=2.0,
-        bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23 tail
-        # ladder this sims at padding efficiency 0.85 vs 0.76 for the old
-        # growth-1.45 + pow2-tails config, same program count (NOTES r3)
-        samples_per_batch=192 * 24_000,  # ~3.2 min of audio per device call; larger budgets measured slower (HBM pressure)
-        max_batch_size=128,
-    )
-    engine = MimiEncoderEngine(params, cfg, ecfg)
-
-    rng = np.random.default_rng(0)
-    n_utts = 256
-    lengths_s = np.clip(rng.lognormal(mean=1.9, sigma=0.8, size=n_utts), 0.8, 59.0)
-    audios = [
-        (rng.standard_normal(int(s * 24_000)) * 0.3 * 32767).astype(np.int16)
-        for s in lengths_s
-    ]
-    total_audio_s = sum(len(a) for a in audios) / 24_000.0
-
-    # first device touch happens inside this pass: a chip claim + compile
-    # through the tunnel. With the persistent cache this is seconds; cold
-    # it is minutes; a WEDGED claim stays here with elapsed_s climbing.
-    _hb("device_claim+warmup")
-    engine.encode_batch(audios)  # pass 1: compile + warm every bucket shape
-
-    passes = []
-    best_stats = None
-    for i in range(5):
-        _hb(f"measured_pass_{i + 1}")
-        engine.stats = EngineStats()
-        t0 = time.perf_counter()
-        codes = engine.encode_batch(audios)  # measured steady-state pass
-        wall = time.perf_counter() - t0
-        frames = sum(c.shape[1] for c in codes)
-        expected = sum(-(-len(a) // 1920) for a in audios)
-        assert frames == expected, (frames, expected)
-        passes.append(total_audio_s / wall)
-        if passes[-1] == max(passes):
-            best_stats, best_wall = engine.stats, wall
-
-    rt = max(passes)
-    wall = best_wall
-    engine.stats = best_stats
-
-    # secondary: MLS-shaped 16 kHz int16 workload through the FUSED
-    # on-device resample (source-rate upload + polyphase inside the encode
-    # program). Reported in detail only; the headline stays the 24 kHz run.
-    audios16 = [
-        (rng.standard_normal(int(s * 16_000)) * 0.3 * 32767).astype(np.int16)
-        for s in lengths_s
-    ]
-    total16_s = sum(len(a) for a in audios16) / 16_000.0
-    engine.stats = EngineStats()  # keep the 16k passes out of best_stats
-    _hb("fused_16k")
-    engine.encode_batch(audios16, sr=16_000)  # warm fused-16k shapes
-    t0 = time.perf_counter()
-    engine.encode_batch(audios16, sr=16_000)
-    rt16 = total16_s / (time.perf_counter() - t0)
-    engine.stats = best_stats  # report the best 24 kHz pass's stats
-    result = {
-        "metric": "audio_hours_per_hour_per_chip",
-        "value": round(rt, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rt / 50.0, 3),
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "audio_seconds": round(total_audio_s, 1),
-            "wall_seconds": round(wall, 3),
-            "utterances": n_utts,
-            "pass_x_realtime": [round(p, 1) for p in passes],
-            "fused_16khz_x_realtime": round(rt16, 1),
-            "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
-            "code_transfer_format": ecfg.code_transfer_format,
-            "bucket_growth": ecfg.bucket_growth,
-            "stage_seconds": {
-                k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
-            },
-        },
-    }
+    result = run_engine_bench(progress=_hb)
     print(json.dumps(result))
 
 
@@ -170,7 +79,6 @@ def watchdog():
     with TOKENIZE_AUDIO_BENCH_WATCHDOG=0 (then main() runs in-process).
     """
     import subprocess
-    import sys
 
     deadlines = tuple(
         int(x)
@@ -196,8 +104,6 @@ def watchdog():
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--inner" in sys.argv or os.environ.get("TOKENIZE_AUDIO_BENCH_WATCHDOG") == "0":
         main()
     else:

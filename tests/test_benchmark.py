@@ -1,0 +1,89 @@
+"""The benchmark CLIs are first-class package surfaces (VERDICT r3 #3):
+pin that both run end-to-end on a tiny config and emit the one-JSON-line
+contract the driver and README cite."""
+
+import json
+
+import pytest
+
+from tests.mimi_fixtures import tiny_jax_config
+from tokenize_audio_tpu.benchmark import run_engine_bench, run_pipeline_bench
+from tokenize_audio_tpu.config import EngineConfig
+
+
+def tiny_engine_cfg(**kw):
+    return EngineConfig(
+        batch_size=4,
+        min_bucket_seconds=0.5,
+        max_chunk_seconds=4.0,
+        **kw,
+    )
+
+
+def test_engine_bench_contract():
+    res = run_engine_bench(
+        n_utts=6,
+        passes=2,
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+    )
+    assert res["metric"] == "audio_hours_per_hour_per_chip"
+    assert res["unit"] == "x_realtime"
+    assert res["value"] > 0
+    assert res["vs_baseline"] == pytest.approx(res["value"] / 50.0, rel=0.02)
+    d = res["detail"]
+    assert len(d["pass_x_realtime"]) == 2
+    assert d["fused_16khz_x_realtime"] > 0
+    assert 0 < d["bucket_efficiency"] <= 1
+    json.dumps(res)  # one-JSON-line contract: serializable as-is
+
+
+def test_pipeline_bench_runs_full_path(tmp_path):
+    """Tiny synthetic mirror through the WHOLE yodas2 path: tar extract,
+    WAV decode, chunk slicing, encode, JSON serialize, local-hub upload —
+    warm pass + measured pass, report well-formed."""
+    res = run_pipeline_bench(
+        subshards=2,
+        audios=1,
+        seconds=5.0,
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+    )
+    assert res["metric"] == "pipeline_audio_hours_per_hour_per_chip"
+    assert res["value"] > 0
+    d = res["detail"]
+    assert d["subshards"] == 2
+    assert d["chunks"] > 0
+    assert d["transient_retries"] == 0
+    assert d["warm_pass_seconds"] > 0
+    # the measured pass's hub got every sub-shard's artifact
+    hub_dir = tmp_path / "hub_m" / "data" / "en000"
+    uploaded = sorted(p.name for p in hub_dir.glob("*.json"))
+    assert uploaded == ["00000000.json", "00000001.json"]
+
+
+def test_benchmark_cli_pipeline(tmp_path, capsys, monkeypatch):
+    """python -m tokenize_audio_tpu.benchmark --pipeline prints exactly one
+    JSON line on stdout (heartbeats go to stderr)."""
+    import tokenize_audio_tpu.benchmark as B
+
+    # keep the CLI test fast: patch the runner to the tiny config
+    real = B.run_pipeline_bench
+    monkeypatch.setattr(
+        B,
+        "run_pipeline_bench",
+        lambda **kw: real(
+            **{
+                **kw,
+                "mimi_cfg": tiny_jax_config(),
+                "engine_cfg": tiny_engine_cfg(),
+                "work_root": str(tmp_path),
+            }
+        ),
+    )
+    assert B.main(["--pipeline", "--subshards", "1", "--audios", "1", "--seconds", "4"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    res = json.loads(out[0])
+    assert res["metric"] == "pipeline_audio_hours_per_hour_per_chip"

@@ -17,6 +17,10 @@ import pytest
 
 from tests.mimi_fixtures import tiny_jax_config
 
+# two multi-minute jax.distributed cluster fixtures — keep out of the
+# fast inner-loop profile (pytest -m "not slow"); CI runs the full suite
+pytestmark = pytest.mark.slow
+
 LOCAL_DEV = 2
 
 

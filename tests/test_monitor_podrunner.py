@@ -411,3 +411,50 @@ def test_pod_runner_walltime_sigkill_escalation(tmp_path, capsys):
     # test can pass vacuously when the TERM kills a slow-starting child
     assert "sending SIGKILL" in capsys.readouterr().out
     assert json.load(open(tmp_path / "run" / "jobs.json")) == {}
+
+
+def test_chip_check_single_device_contract(monkeypatch):
+    """chip_check spawns a child under the pod runner's injected chip env
+    and passes iff the child enumerates exactly ONE device and computes.
+    Simulated on CPU: a 1-virtual-device child passes, an 8-device child
+    fails with the --chip-env guidance."""
+    from tokenize_audio_tpu.runner.chip_check import check_chip
+
+    ok = check_chip(
+        chip=0,
+        templates=("XLA_FLAGS=--xla_force_host_platform_device_count=1",),
+        force_platform="cpu",
+        timeout=120,
+    )
+    assert ok["ok"] and ok["child"]["n_devices"] == 1 and ok["child"]["compute_ok"]
+
+    bad = check_chip(
+        chip=0,
+        templates=("XLA_FLAGS=--xla_force_host_platform_device_count=8",),
+        force_platform="cpu",
+        timeout=120,
+    )
+    assert not bad["ok"] and bad["child"]["n_devices"] == 8
+    assert "--chip-env" in bad["error"]
+
+
+def test_chip_check_cli_exit_codes(capsys):
+    """The CLI prints one JSON line and exits 0/1 on pass/fail."""
+    import json as _json
+
+    from tokenize_audio_tpu.runner import chip_check
+
+    old = dict(os.environ)
+    os.environ["TOKENIZE_AUDIO_CHIP_CHECK_PLATFORM"] = "cpu"
+    try:
+        rc = chip_check.main(
+            ["--chip-env", "XLA_FLAGS=--xla_force_host_platform_device_count=1",
+             "--timeout", "120"]
+        )
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 1
+    rep = _json.loads(out[0])
+    assert rep["ok"] and rep["injected_env"]["XLA_FLAGS"]

@@ -55,11 +55,21 @@ def main():
 
     from tokenize_audio_tpu.benchmark import run_engine_bench
 
-    result = run_engine_bench(progress=_hb)
-    print(json.dumps(result))
+    # Print the ONE stdout JSON line the instant the headline passes finish
+    # (on_headline fires before the optional fused-16k stage): the r4-early
+    # post-mortem showed the headline completing at ~583 s and then a wedged
+    # fused-stage compile eating the deadline — the number must be unlosable.
+    def emit(result):
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    # fused_16k=False: the optional fused-resample stage twice burned
+    # >600 s of remote compiles on this fabric (r4 post-mortems); the
+    # driver channel runs headline-only. The module CLI keeps it.
+    run_engine_bench(progress=_hb, on_headline=emit, fused_16k=False)
 
 
-def watchdog():
+def watchdog(cmd=None):
     """Run the benchmark in a child with a deadline, retrying once.
 
     The tunneled fabric's chip claim occasionally wedges server-side with
@@ -77,6 +87,11 @@ def watchdog():
     stderr heartbeats (one JSON line per stage + a 30 s ticker) pass
     through, so a killed attempt's tail shows WHERE it stalled. Disable
     with TOKENIZE_AUDIO_BENCH_WATCHDOG=0 (then main() runs in-process).
+
+    Child stdout is STREAMED through line by line (not buffered to the
+    end): the child prints the headline JSON as soon as it is measured, so
+    even if a later optional stage wedges and the deadline kills the child,
+    the number already reached the caller — in that case exit 0.
     """
     import subprocess
 
@@ -84,22 +99,48 @@ def watchdog():
         int(x)
         for x in os.environ.get("TOKENIZE_AUDIO_BENCH_DEADLINES", "900,900").split(",")
     )
+    cmd = cmd or [sys.executable, os.path.abspath(__file__), "--inner"]
     for deadline_s in deadlines:
+        proc = subprocess.Popen(
+            cmd,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        result_seen = threading.Event()
+
+        def forward(stream=proc.stdout):
+            for line in stream:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                try:
+                    if "metric" in json.loads(line):
+                        result_seen.set()
+                except (json.JSONDecodeError, TypeError):
+                    pass
+
+        fwd = threading.Thread(target=forward, daemon=True)
+        fwd.start()
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner"],
-                stdout=subprocess.PIPE,
-                timeout=deadline_s,
-            )
+            rc = proc.wait(timeout=deadline_s)
+            fwd.join(timeout=10)
+            if rc == 0 or result_seen.is_set():
+                raise SystemExit(0)
+            raise SystemExit(rc)
         except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            fwd.join(timeout=10)
+            if result_seen.is_set():
+                print(
+                    f"bench: headline emitted; a later stage stalled >{deadline_s}s "
+                    "(killed) — exiting 0 with the captured number",
+                    file=sys.stderr,
+                )
+                raise SystemExit(0)
             print(
                 f"bench stalled >{deadline_s}s (likely a wedged chip claim); retrying",
                 file=sys.stderr,
             )
-            continue
-        sys.stdout.buffer.write(proc.stdout)
-        sys.stdout.flush()
-        raise SystemExit(proc.returncode)
     raise SystemExit("bench stalled on all attempts")
 
 

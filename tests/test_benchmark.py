@@ -21,11 +21,20 @@ def tiny_engine_cfg(**kw):
 
 
 def test_engine_bench_contract():
+    emitted = []
+
+    def on_headline(r):
+        # the headline must be emitted BEFORE the secondary fused-16k stage
+        # runs (a wedged fused compile once ate the deadline after the
+        # headline was measured — bench.py streams this out immediately)
+        emitted.append(("fused_16khz_x_realtime" in r["detail"], r))
+
     res = run_engine_bench(
         n_utts=6,
         passes=2,
         mimi_cfg=tiny_jax_config(),
         engine_cfg=tiny_engine_cfg(),
+        on_headline=on_headline,
     )
     assert res["metric"] == "audio_hours_per_hour_per_chip"
     assert res["unit"] == "x_realtime"
@@ -36,6 +45,45 @@ def test_engine_bench_contract():
     assert d["fused_16khz_x_realtime"] > 0
     assert 0 < d["bucket_efficiency"] <= 1
     json.dumps(res)  # one-JSON-line contract: serializable as-is
+    [(fused_at_emit, emitted_dict)] = emitted
+    assert not fused_at_emit  # emitted before the fused stage...
+    assert emitted_dict is res  # ...and enriched in place afterwards
+
+
+def test_bench_watchdog_keeps_headline_when_late_stage_stalls(capsys):
+    """bench.py's watchdog streams the child's stdout through and exits 0
+    if the headline JSON landed before a later stage wedged past the
+    deadline (the r4-early failure mode: 5/5 passes measured, fused stage
+    stalled, number lost)."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_root", _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    headline_then_hang = (
+        "import json,sys,time;"
+        "print(json.dumps({'metric':'m','value':1.0,'unit':'x','vs_baseline':0}));"
+        "sys.stdout.flush(); time.sleep(60)"
+    )
+    _os.environ["TOKENIZE_AUDIO_BENCH_DEADLINES"] = "3"
+    try:
+        with pytest.raises(SystemExit) as ei:
+            bench.watchdog(cmd=[_sys.executable, "-c", headline_then_hang])
+        assert ei.value.code == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(out[-1])["metric"] == "m"
+
+        # and a child that never emits anything still stalls out non-zero
+        with pytest.raises(SystemExit) as ei:
+            bench.watchdog(cmd=[_sys.executable, "-c", "import time; time.sleep(60)"])
+        assert ei.value.code == "bench stalled on all attempts"
+    finally:
+        del _os.environ["TOKENIZE_AUDIO_BENCH_DEADLINES"]
 
 
 def test_pipeline_bench_runs_full_path(tmp_path):

@@ -667,9 +667,11 @@ def test_engine_autotune_transfer(tiny_oracle, rng):
     eng = MimiEncoderEngine(params, cfg, ecfg)
     stats_before = eng.stats
     chosen = eng.autotune_transfer(seconds=3.0, rounds=1)
-    assert chosen in ("packed", "padded", "compact")
+    assert chosen in ("packed", "padded")
     assert eng.engine_cfg.code_transfer_format == chosen
-    assert set(eng.last_autotune) >= {"packed", "padded"}
+    assert set(eng.last_autotune) == {"packed", "padded"}
+    # "compact" is a retired experiment: never probed unless try_compact
+    assert "compact" not in eng.last_autotune
     # probe passes must not pollute the engine's throughput accounting
     assert eng.stats is stats_before and eng.stats.utterances == 0
     audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (5000, 19200)]
@@ -702,11 +704,24 @@ def test_engine_autotune_on_samples(tiny_oracle, rng):
     eng = MimiEncoderEngine(params, cfg, ecfg)
     samples = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (9000, 30000, 52000)]
     chosen = eng.autotune_transfer(seconds=2.0, rounds=1, samples=samples)
-    assert chosen in ("packed", "padded", "compact")
-    assert set(eng.last_autotune) >= {"packed", "padded"}
+    assert chosen in ("packed", "padded")
+    assert set(eng.last_autotune) == {"packed", "padded"}
     got = eng.encode_batch(samples)
     for a, g in zip(samples, got):
         assert (g == ref_codes(model, a)).all()
+
+
+def test_engine_autotune_try_compact_opt_in(tiny_oracle, rng):
+    """try_compact=True re-admits the retired compact experiment to the
+    probe (single-device masked engines only) — and the probe still picks
+    by measurement, staying numerically invisible."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    chosen = eng.autotune_transfer(seconds=1.5, rounds=1, try_compact=True)
+    assert set(eng.last_autotune) == {"packed", "padded", "compact"}
+    assert chosen == min(eng.last_autotune, key=eng.last_autotune.get)
 
 
 def test_engine_autotune_pipeline_depth(tiny_oracle, rng):

@@ -53,6 +53,8 @@ def run_engine_bench(
     mimi_cfg=None,
     engine_cfg=None,
     progress: Callable[[str], None] = _noop,
+    on_headline: Optional[Callable[[dict], None]] = None,
+    fused_16k: bool = True,
 ) -> dict:
     """Engine-only throughput: audio-hours tokenized per wall hour per chip.
 
@@ -63,6 +65,13 @@ def run_engine_bench(
     (every pass is in detail.pass_x_realtime). Audio is int16 PCM, the
     production wire format (YODAS2 WAV tars / LibriSpeech FLAC are
     16-bit): the engine ships raw PCM and normalizes on-chip.
+
+    ``on_headline`` (if given) receives the result dict the moment the
+    headline passes finish, BEFORE the secondary fused-16 kHz stage runs —
+    the r4 bench post-mortem showed a wedged fused-stage compile can eat a
+    caller's deadline after the headline was already measured; emitting
+    early makes the headline unlosable. The fused number is then added to
+    ``detail`` in place (callers holding the emitted dict see it too).
     """
     import jax
 
@@ -122,10 +131,36 @@ def run_engine_bench(
 
     rt = max(pass_rts)
     engine.stats = best_stats
+    result = {
+        "metric": "audio_hours_per_hour_per_chip",
+        "value": round(rt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rt / 50.0, 3),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "audio_seconds": round(total_audio_s, 1),
+            "wall_seconds": round(best_wall, 3),
+            "utterances": n_utts,
+            "pass_x_realtime": [round(p, 1) for p in pass_rts],
+            "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
+            "code_transfer_format": engine.engine_cfg.code_transfer_format,
+            "bucket_growth": ecfg.bucket_growth,
+            "stage_seconds": {
+                k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
+            },
+        },
+    }
+    if on_headline is not None:
+        on_headline(result)
+    if not fused_16k:
+        return result
 
     # secondary: MLS-shaped 16 kHz int16 workload through the FUSED
     # on-device resample (source-rate upload + polyphase inside the encode
     # program). Reported in detail only; the headline stays the 24 kHz run.
+    # Opt-out exists because on the tunneled fabric this stage twice burned
+    # >600 s in remote compiles of the fused bucket lattice (r4 bench
+    # post-mortems) — the driver wrapper runs with fused_16k=False.
     sr16 = sr * 2 // 3
     audios16 = [
         (rng.standard_normal(int(s * sr16)) * 0.3 * 32767).astype(np.int16)
@@ -139,26 +174,8 @@ def run_engine_bench(
     engine.encode_batch(audios16, sr=sr16)
     rt16 = total16_s / (time.perf_counter() - t0)
     engine.stats = best_stats  # report the best headline pass's stats
-    return {
-        "metric": "audio_hours_per_hour_per_chip",
-        "value": round(rt, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rt / 50.0, 3),
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "audio_seconds": round(total_audio_s, 1),
-            "wall_seconds": round(best_wall, 3),
-            "utterances": n_utts,
-            "pass_x_realtime": [round(p, 1) for p in pass_rts],
-            "fused_16khz_x_realtime": round(rt16, 1),
-            "bucket_efficiency": round(engine.stats.bucket_efficiency, 4),
-            "code_transfer_format": engine.engine_cfg.code_transfer_format,
-            "bucket_growth": ecfg.bucket_growth,
-            "stage_seconds": {
-                k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
-            },
-        },
-    }
+    result["detail"]["fused_16khz_x_realtime"] = round(rt16, 1)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +343,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=90.0, help="pipeline: seconds per audio")
     ap.add_argument("--utterances", type=int, default=256, help="engine: workload size")
     ap.add_argument("--passes", type=int, default=5, help="engine: measured passes")
+    ap.add_argument(
+        "--no-fused-16k",
+        action="store_true",
+        help="engine: skip the secondary fused-resample 16 kHz stage "
+        "(it compiles a second bucket lattice — expensive on remote-compile fabrics)",
+    )
     args = ap.parse_args(argv)
 
     from tokenize_audio_tpu.utils import enable_compile_cache
@@ -344,7 +367,10 @@ def main(argv=None) -> int:
         )
     else:
         result = run_engine_bench(
-            n_utts=args.utterances, passes=args.passes, progress=progress
+            n_utts=args.utterances,
+            passes=args.passes,
+            progress=progress,
+            fused_16k=not args.no_fused_16k,
         )
     print(json.dumps(result))
     return 0

@@ -44,11 +44,11 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         choices=["padded", "packed", "compact", "auto", "auto-data"],
         help="device->host code wire format (default EngineConfig default; "
         "see config.py — 'compact' fetches only packed valid frames). "
-        "'auto' probes the eligible formats on THIS fabric with an "
-        "interleaved A/B at startup and keeps the fastest (the ranking is "
-        "fabric-dependent: packed wins on latency-bound tunnels; 'compact' "
-        "is an experiment only ever reachable through this probe — it has "
-        "never won a measured A/B, NOTES r3/r4). 'auto-data' defers the "
+        "'auto' probes packed vs padded on THIS fabric with an interleaved "
+        "A/B at startup and keeps the fastest (the ranking is "
+        "fabric-dependent: packed wins on latency-bound tunnels). "
+        "'compact' is a retired experiment kept for manual selection only "
+        "— it lost every measured A/B, NOTES r3/r4. 'auto-data' defers the "
         "probe to the first REAL batch and times the shard's own "
         "utterances instead of a synthetic workload",
     )

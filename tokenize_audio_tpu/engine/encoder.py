@@ -710,15 +710,18 @@ class MimiEncoderEngine:
         seed: int = 0,
         samples: Optional[Sequence[np.ndarray]] = None,
         sr: Optional[int] = None,
+        try_compact: bool = False,
     ) -> str:
         """Pick the fastest ``code_transfer_format`` for THIS fabric by a
         within-process interleaved A/B, then switch the engine to it.
 
-        The format ranking is fabric-dependent (NOTES r3: packed wins on
-        the latency-bound tunnel, compact's byte savings should win on
-        local PCIe), so production guidance is "re-probe per fabric" —
-        this method IS that probe, runnable at provisioning time right
-        after :meth:`warmup` (CLI ``--code-transfer-format auto``).
+        The packed-vs-padded ranking is fabric-dependent (NOTES r3: packed
+        wins on the latency-bound tunnel by +4.6%), so production guidance
+        is "re-probe per fabric" — this method IS that probe, runnable at
+        provisioning time right after :meth:`warmup` (CLI
+        ``--code-transfer-format auto``). ``try_compact=True`` additionally
+        probes the retired "compact" experiment, which has lost every
+        measured A/B (tunnel r3 and CPU-local r4 — see NOTES).
 
         Pass ``samples`` (+ their ``sr``) to probe on REAL shard
         utterances instead of the synthetic lognormal — e.g. the first N
@@ -739,7 +742,12 @@ class MimiEncoderEngine:
         candidates = ["packed", "padded"]
         if self.num_codebooks % 2 != 0:
             candidates = ["padded"]
-        elif self.masked and self.mesh is None:
+        elif try_compact and self.masked and self.mesh is None:
+            # compact is a retired experiment (NOTES r4 decision): it lost
+            # the tunnel A/B (r3: 607x vs packed 669x) AND the CPU-local
+            # A/B (r4: slowest in 3/3 probes — its compaction compute costs
+            # more than the byte savings are worth even when transfer is a
+            # local memcpy). Probe it only on explicit request.
             candidates.append("compact")
         if len(candidates) == 1:
             # the constructor's odd-K fallback already pinned this format;

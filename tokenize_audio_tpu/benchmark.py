@@ -2,6 +2,7 @@
 
     python -m tokenize_audio_tpu.benchmark             # engine bench
     python -m tokenize_audio_tpu.benchmark --pipeline  # full YODAS2 path
+    python -m tokenize_audio_tpu.benchmark --soak 30   # sustained soak (min)
 
 Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
 
@@ -329,6 +330,142 @@ def run_pipeline_bench(
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# production-path soak
+
+
+def run_soak(
+    *,
+    minutes: float = 30.0,
+    subshards: int = 4,
+    audios: int = 6,
+    seconds: float = 90.0,
+    mimi_cfg=None,
+    engine_cfg=None,
+    work_root: Optional[str] = None,
+    progress: Callable[[str], None] = _noop,
+) -> dict:
+    """Soak the FULL production path continuously for ``minutes`` on one
+    chip: one long-lived engine (the production shape — one job, one
+    process, hours of work) looping whole shard volumes of the YODAS2
+    pipeline, recording per-iteration throughput, cumulative engine
+    transient-fault retries, and any iteration-level exception. This is
+    the sustained-operation evidence VERDICT r3 #2 asks for — the fault
+    retry and stats machinery exists for multi-hour runs (the reference's
+    jobs ran under 14-day walltimes, yodas2-mimi/submit/job_template.sh:5)
+    and had only ever seen synthetic faults. Per-chip walltime policing is
+    a pod-runner (parent process) concern, e2e-tested separately — a soak
+    runs inside ONE job, so no walltime events can occur here by design.
+
+    Emits one heartbeat per iteration via ``progress`` and returns a
+    summary with the sustained-throughput band.
+    """
+    import jax
+
+    from tokenize_audio_tpu.config import EngineConfig
+    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
+    from tokenize_audio_tpu.hub import LocalHub
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import random_params
+
+    tmp = work_root or tempfile.mkdtemp(prefix="soak_")
+    own_tmp = work_root is None
+    try:
+        mirror = os.path.join(tmp, "mirror")
+        progress("build_mirror")
+        total_audio, n_chunks = build_mirror(mirror, "en000", subshards, audios, seconds)
+
+        cfg = mimi_cfg or MimiConfig()
+        progress("params")
+        params = random_params(cfg, seed=0)
+        engine = MimiEncoderEngine(
+            params,
+            cfg,
+            engine_cfg
+            or EngineConfig(
+                min_bucket_seconds=2.0,
+                bucket_growth=1.25,
+                samples_per_batch=192 * 24_000,
+                max_batch_size=128,
+            ),
+            num_codebooks=cfg.num_quantizers,
+        )
+
+        def run_iter(tag):
+            proc = Yodas2ShardProcessor(
+                "en000",
+                LocalSource(mirror),
+                LocalHub(os.path.join(tmp, f"hub_{tag}")),
+                engine,
+                os.path.join(tmp, f"work_{tag}"),
+                os.path.join(tmp, f"prog_{tag}"),
+                max_subshards=subshards,
+                max_consecutive_missing=2,
+                upload_batch_size=2,
+            )
+            t0 = time.perf_counter()
+            rep = proc.process()
+            wall = time.perf_counter() - t0
+            # a soak accumulates artifacts forever; clean as production does
+            for d in (f"hub_{tag}", f"work_{tag}", f"prog_{tag}"):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+            return wall, rep
+
+        progress("device_claim+warm_pass")
+        run_iter("warm")  # compiles; not counted
+
+        t_start = time.monotonic()
+        iters = []
+        errors = []
+        retries_before = engine.stats.transient_retries
+        i = 0
+        while time.monotonic() - t_start < minutes * 60 or not iters:
+            i += 1
+            try:
+                wall, rep = run_iter(f"i{i}")
+                assert rep["processed"] == subshards, rep
+                iters.append(
+                    {
+                        "iter": i,
+                        "x_realtime": round(total_audio / wall, 1),
+                        "wall_s": round(wall, 2),
+                        "t_min": round((time.monotonic() - t_start) / 60, 2),
+                        "transient_retries_total": engine.stats.transient_retries,
+                    }
+                )
+                progress(f"iter_{i}_rt_{iters[-1]['x_realtime']}")
+            except Exception as e:  # record, keep soaking (production survives)
+                errors.append({"iter": i, "error": f"{type(e).__name__}: {e}"})
+                progress(f"iter_{i}_ERROR")
+
+        rts = [it["x_realtime"] for it in iters]
+        wall_min = (time.monotonic() - t_start) / 60
+        return {
+            "metric": "pipeline_soak_sustained",
+            "value": float(np.median(rts)),
+            "unit": "x_realtime",
+            "vs_baseline": round(float(np.median(rts)) / 50.0, 3),
+            "detail": {
+                "device": str(jax.devices()[0]),
+                "soak_minutes": round(wall_min, 1),
+                "iterations": len(iters),
+                "audio_hours_processed": round(len(iters) * total_audio / 3600, 2),
+                "chunks_per_iter": n_chunks,
+                "rt_min": min(rts),
+                "rt_median": float(np.median(rts)),
+                "rt_max": max(rts),
+                "band_pct": round(100 * (max(rts) - min(rts)) / float(np.median(rts)), 1),
+                "transient_retries": engine.stats.transient_retries - retries_before,
+                "iteration_errors": errors,
+                "per_iteration": iters,
+            },
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m tokenize_audio_tpu.benchmark", description=__doc__
@@ -337,6 +474,15 @@ def main(argv=None) -> int:
         "--pipeline",
         action="store_true",
         help="full YODAS2 production path instead of the engine-only bench",
+    )
+    ap.add_argument(
+        "--soak",
+        type=float,
+        default=None,
+        metavar="MINUTES",
+        help="soak the full production path continuously for MINUTES with "
+        "one long-lived engine, reporting the sustained-throughput band, "
+        "cumulative transient retries, and any iteration errors",
     )
     ap.add_argument("--subshards", type=int, default=4, help="pipeline: sub-shards")
     ap.add_argument("--audios", type=int, default=6, help="pipeline: audios per sub-shard")
@@ -358,7 +504,15 @@ def main(argv=None) -> int:
     def progress(stage: str) -> None:
         print(json.dumps({"hb": stage}), file=sys.stderr, flush=True)
 
-    if args.pipeline:
+    if args.soak is not None:
+        result = run_soak(
+            minutes=args.soak,
+            subshards=args.subshards,
+            audios=args.audios,
+            seconds=args.seconds,
+            progress=progress,
+        )
+    elif args.pipeline:
         result = run_pipeline_bench(
             subshards=args.subshards,
             audios=args.audios,

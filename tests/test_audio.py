@@ -184,6 +184,7 @@ def test_resample_bucketing_is_exact(rng):
         np.testing.assert_allclose(bucketed, golden, atol=2e-5 * np.abs(golden).max())
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_multichannel_audio_rejected_or_handled():
     from tests.mimi_fixtures import make_oracle, tiny_hf_config
     from tokenize_audio_tpu.config import EngineConfig

@@ -20,6 +20,7 @@ def tiny_engine_cfg(**kw):
     )
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_engine_bench_contract():
     emitted = []
 
@@ -50,6 +51,7 @@ def test_engine_bench_contract():
     assert emitted_dict is res  # ...and enriched in place afterwards
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_bench_watchdog_keeps_headline_when_late_stage_stalls(capsys):
     """bench.py's watchdog streams the child's stdout through and exits 0
     if the headline JSON landed before a later stage wedged past the
@@ -89,6 +91,7 @@ def test_bench_watchdog_keeps_headline_when_late_stage_stalls(capsys):
         del _os.environ["TOKENIZE_AUDIO_BENCH_DEADLINES"]
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_pipeline_bench_runs_full_path(tmp_path):
     """Tiny synthetic mirror through the WHOLE yodas2 path: tar extract,
     WAV decode, chunk slicing, encode, JSON serialize, local-hub upload —

@@ -134,6 +134,7 @@ def test_every_documented_cli_exists():
         assert hasattr(mod, "main"), f"{name} has no main()"
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_pipeline_depth_and_autodata_flag_plumbing(monkeypatch):
     """--pipeline-depth N reaches the engine; 'auto' runs the depth probe
     at startup; 'auto-data' + --code-transfer-format auto-data defer the

@@ -234,6 +234,7 @@ def _assert_codes_equal_modulo_near_ties(got, want, max_flipped_frames=2):
     )
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_engine_dp_mesh_equivalence(tiny_oracle):
     """Batch sharded over 8 virtual devices == single-device (SURVEY §4
     implication (e)), modulo near-tie argmin flips from CPU batch-shape
@@ -466,6 +467,7 @@ def test_packed_transfer_odd_codebooks_falls_back(tiny_oracle, rng):
     assert (got == ref_codes(model, audio, k=7)).all()
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_stream_policy_multiplexes_batch(tiny_oracle, rng):
     """Several >cap utterances in one call share one batched streaming
     encoder (per-row ends), with codes equal to each utterance's one-shot
@@ -519,6 +521,7 @@ def test_engine_degenerate_inputs(tiny_oracle, rng):
     assert (out[1] == ref_codes(model, audio)).all()
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_engine_warmup(tiny_oracle, rng):
     """warmup() precompiles one full-batch program per bucket, leaves the
     stats clean, and the engine still encodes correctly afterwards."""
@@ -537,6 +540,7 @@ def test_engine_warmup(tiny_oracle, rng):
     assert eng.warmup(include_tails=True) == 2 * len(eng.buckets)
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
 def test_engine_windowed_mode(tiny_oracle, rng):
     """cfg.use_sliding_window=True flows through the bucketed engine:
     per-utterance codes equal the direct windowed encode."""

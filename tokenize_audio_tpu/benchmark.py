@@ -110,8 +110,11 @@ def run_engine_bench(
     ]
     total_audio_s = sum(len(a) for a in audios) / sr
 
-    # first device touch happens inside this pass: a chip claim + compile
-    progress("device_claim+warmup")
+    # first device touch: the chip claim alone (a tunneled claim can take
+    # minutes or wedge — keep it distinguishable from compile time)
+    progress("device_claim")
+    jax.block_until_ready(jax.numpy.zeros(8))
+    progress("warmup")
     engine.encode_batch(audios)  # warm pass: compile + warm every bucket shape
 
     pass_rts = []

@@ -144,6 +144,53 @@ def test_soak_contract(tmp_path):
     json.dumps(res)
 
 
+def test_soak_terminates_on_persistent_failure(tmp_path, monkeypatch):
+    """A broken production path must make the soak FAIL, not loop forever
+    chasing a first success: 3 consecutive failures with zero counted
+    iterations raises instead of soaking."""
+    import tokenize_audio_tpu.benchmark as B
+
+    calls = []
+
+    def always_broken(tmp, mirror, engine, tag, subshards):
+        if tag == "warm":  # let the warm pass through so the loop is reached
+            return 0.1, {"processed": subshards}
+        calls.append(tag)
+        raise OSError("disk full")
+
+    monkeypatch.setattr(B, "_process_shard_once", always_broken)
+    with pytest.raises(RuntimeError, match="no successful iterations"):
+        B.run_soak(
+            minutes=10.0,  # budget far from elapsing: the bail must trigger
+            subshards=1,
+            audios=1,
+            seconds=4.0,
+            mimi_cfg=tiny_jax_config(),
+            engine_cfg=tiny_engine_cfg(),
+            work_root=str(tmp_path),
+        )
+    assert len(calls) == 3  # exactly the consecutive-failure bail, no spin
+
+
+def test_bench_claims_device_before_engine_build(tmp_path):
+    """The 'device_claim' heartbeat must fire BEFORE engine construction
+    (engine init device_puts params — the first device touch is where a
+    tunneled claim wedges, and the watchdog post-mortem must not blame
+    the 'params' stage for it)."""
+    stages = []
+    run_pipeline_bench(
+        subshards=1,
+        audios=1,
+        seconds=4.0,
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+        progress=stages.append,
+    )
+    assert stages.index("device_claim") < stages.index("params")
+    assert "warm_pass" in stages and "measured_pass" in stages
+
+
 def test_benchmark_cli_pipeline(tmp_path, capsys, monkeypatch):
     """python -m tokenize_audio_tpu.benchmark --pipeline prints exactly one
     JSON line on stdout (heartbeats go to stderr)."""

@@ -201,3 +201,60 @@ def test_warmup_reruns_after_autotune_format_switch(monkeypatch):
     engine_from_args(ap.parse_args(["--warmup", "--code-transfer-format", "auto"]))
     # one full warmup before the probe + one re-warm after the switch
     assert warm_calls == [24_000, 16_000, 48_000] * 2
+
+
+def test_warmup_reruns_after_deferred_autodata_format_switch(monkeypatch, rng):
+    """--warmup + --code-transfer-format auto-data: the probe runs on the
+    FIRST real batch; if it switches formats there, the re-warm contract
+    must still hold (via request_autotune's on_complete hook) — startup
+    warmed only the OLD format's lattices."""
+    import argparse
+
+    from tests.mimi_fixtures import tiny_jax_config
+    from tokenize_audio_tpu.cli import add_engine_args, engine_from_args
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+
+    warm_calls = []
+    monkeypatch.setattr(
+        MimiEncoderEngine,
+        "warmup",
+        lambda self, sr=24_000, include_tails=False: warm_calls.append(sr) or 0,
+    )
+
+    def fake_tune(self, **kw):
+        self._set_transfer_format("padded")  # switch away from the default
+        return "padded"
+
+    monkeypatch.setattr(MimiEncoderEngine, "autotune_transfer", fake_tune)
+    # engine_from_args builds a full-size MimiConfig; swap in the tiny dims
+    # (build the tiny config BEFORE patching — tiny_jax_config resolves the
+    # class through the module attribute being patched)
+    tiny_cfg = tiny_jax_config()
+    monkeypatch.setattr("tokenize_audio_tpu.mimi.MimiConfig", lambda **kw: tiny_cfg)
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    eng = engine_from_args(
+        ap.parse_args(
+            ["--warmup", "--code-transfer-format", "auto-data", "--batch-size", "2"]
+        )
+    )
+    assert warm_calls == [24_000, 16_000, 48_000]  # startup warm only so far
+    audio = (rng.standard_normal(6000) * 0.3).astype(np.float32)
+    eng.encode_batch([audio])  # first real batch triggers probe + re-warm
+    assert warm_calls == [24_000, 16_000, 48_000] * 2
+
+
+def test_pipeline_depth_arg_validation():
+    """--pipeline-depth rejects typos and non-positive ints at parse time
+    with a usage error, not a traceback from engine construction."""
+    import argparse
+
+    from tokenize_audio_tpu.cli import add_engine_args
+
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap)
+    for bad in ("aut0", "0", "-3", "2.5"):
+        with pytest.raises(SystemExit):  # argparse usage error
+            ap.parse_args(["--pipeline-depth", bad])
+    assert ap.parse_args(["--pipeline-depth", "7"]).pipeline_depth == 7
+    assert ap.parse_args(["--pipeline-depth", "auto"]).pipeline_depth == "auto"

@@ -767,6 +767,44 @@ def test_engine_request_autotune_defers_to_first_batch(tiny_oracle, rng):
     assert eng.stats.utterances == 2
 
 
+def test_engine_request_autotune_on_complete(tiny_oracle, rng):
+    """The on_complete hook runs after the deferred probes pick and before
+    the triggering batch encodes (the CLI re-warms switched formats with
+    it), exactly once."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    fired = []
+    eng.request_autotune(
+        transfer=True, seconds=1.0, rounds=1,
+        on_complete=lambda: fired.append(dict(eng.last_autotune)),
+    )
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (7000, 21000)]
+    eng.encode_batch(audios)
+    [at_fire] = fired  # exactly once, and the probe had already run
+    assert set(at_fire) == {"packed", "padded"}
+    eng.encode_batch(audios)  # second batch: no re-fire
+    assert len(fired) == 1
+
+
+def test_probe_workload_caps_channels_first_samples(tiny_oracle, rng):
+    """The probe's seconds cap must measure the TIME axis: for (C, T)
+    channels-first samples, len() is the channel count and would admit
+    the entire batch into every probe pass."""
+    _, params, cfg = tiny_oracle
+    eng = MimiEncoderEngine(
+        params, cfg, EngineConfig(batch_size=4, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    )
+    sr = eng.engine_cfg.sample_rate
+    stereo = [
+        (rng.standard_normal((2, 2 * sr)) * 0.3).astype(np.float32)
+        for _ in range(10)
+    ]  # 10 x 2s stereo utterances, channels FIRST
+    utts, _ = eng._probe_workload(seconds=4.0, seed=0, samples=stereo)
+    assert len(utts) == 2  # 2 x 2s reaches the 4s cap — not all 10
+
+
 def test_engine_autotune_single_candidate_skips_probe(tiny_oracle, monkeypatch):
     """An odd-codebook engine has exactly one legal format; the probe is
     skipped entirely instead of burning timed passes on a forced choice

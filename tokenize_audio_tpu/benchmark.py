@@ -42,6 +42,73 @@ def _noop(stage: str) -> None:
     pass
 
 
+def _bench_engine_cfg():
+    """The tuned single-chip bench configuration (shared by all modes)."""
+    from tokenize_audio_tpu.config import EngineConfig
+
+    return EngineConfig(
+        min_bucket_seconds=2.0,
+        bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23 tail
+        # ladder this sims at padding efficiency 0.85 (NOTES r3)
+        samples_per_batch=192 * 24_000,  # ~3.2 min of audio per call;
+        # larger budgets measured slower (HBM pressure)
+        max_batch_size=128,
+    )
+
+
+def _claim_device(progress: Callable[[str], None]) -> None:
+    """First device touch under its own heartbeat: a tunneled chip claim
+    can take minutes or wedge, and must be distinguishable from both param
+    generation and compiles in the watchdog's post-mortem tail. Call this
+    BEFORE constructing an engine — engine init device_puts the params,
+    which would otherwise hide the claim inside the 'params' stage."""
+    import jax
+
+    progress("device_claim")
+    jax.block_until_ready(jax.numpy.zeros(8))
+
+
+def _build_pipeline_engine(mimi_cfg, engine_cfg, progress: Callable[[str], None]):
+    """Engine for the pipeline/soak modes (all codebooks — the raw YODAS2
+    stage stores every book, yodas2-mimi/process_shard.py:520-523)."""
+    from tokenize_audio_tpu.engine import MimiEncoderEngine
+    from tokenize_audio_tpu.mimi import MimiConfig
+    from tokenize_audio_tpu.mimi.weights import random_params
+
+    cfg = mimi_cfg or MimiConfig()
+    _claim_device(progress)
+    progress("params")
+    params = random_params(cfg, seed=0)
+    return MimiEncoderEngine(
+        params,
+        cfg,
+        engine_cfg or _bench_engine_cfg(),
+        num_codebooks=cfg.num_quantizers,
+    )
+
+
+def _process_shard_once(tmp, mirror, engine, tag, subshards):
+    """One full shard pass of the production path against fresh hub /
+    work / progress state; returns (wall_seconds, report)."""
+    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
+    from tokenize_audio_tpu.hub import LocalHub
+
+    proc = Yodas2ShardProcessor(
+        "en000",
+        LocalSource(mirror),
+        LocalHub(os.path.join(tmp, f"hub_{tag}")),
+        engine,
+        os.path.join(tmp, f"work_{tag}"),
+        os.path.join(tmp, f"prog_{tag}"),
+        max_subshards=subshards,
+        max_consecutive_missing=2,
+        upload_batch_size=2,
+    )
+    t0 = time.perf_counter()
+    rep = proc.process()
+    return time.perf_counter() - t0, rep
+
+
 # ---------------------------------------------------------------------------
 # engine bench
 
@@ -76,25 +143,16 @@ def run_engine_bench(
     """
     import jax
 
-    from tokenize_audio_tpu.config import EngineConfig
     from tokenize_audio_tpu.engine import MimiEncoderEngine
     from tokenize_audio_tpu.engine.metrics import EngineStats
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import random_params
 
     cfg = mimi_cfg or MimiConfig()
+    _claim_device(progress)
     progress("params")
     params = random_params(cfg, seed=0)
-    ecfg = engine_cfg
-    if ecfg is None:
-        ecfg = EngineConfig(
-            min_bucket_seconds=2.0,
-            bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23
-            # tail ladder this sims at padding efficiency 0.85 (NOTES r3)
-            samples_per_batch=192 * 24_000,  # ~3.2 min of audio per call;
-            # larger budgets measured slower (HBM pressure)
-            max_batch_size=128,
-        )
+    ecfg = engine_cfg or _bench_engine_cfg()
     engine = MimiEncoderEngine(params, cfg, ecfg)
 
     rng = np.random.default_rng(seed)
@@ -110,10 +168,6 @@ def run_engine_bench(
     ]
     total_audio_s = sum(len(a) for a in audios) / sr
 
-    # first device touch: the chip claim alone (a tunneled claim can take
-    # minutes or wedge — keep it distinguishable from compile time)
-    progress("device_claim")
-    jax.block_until_ready(jax.numpy.zeros(8))
     progress("warmup")
     engine.encode_batch(audios)  # warm pass: compile + warm every bucket shape
 
@@ -236,7 +290,6 @@ def run_pipeline_bench(
     subshards: int = 4,
     audios: int = 6,
     seconds: float = 90.0,
-    seed: int = 0,
     mimi_cfg=None,
     engine_cfg=None,
     engine=None,
@@ -247,18 +300,13 @@ def run_pipeline_bench(
     mirror -> tar fetch/extract -> WAV decode -> chunk slicing -> batched
     encode (all codebooks, raw stage) -> uint16 JSON -> batched upload to
     a local hub. Warm pass first (compiles), then one measured pass over
-    fresh progress/hub state. Pass ``engine`` to reuse a live engine (the
-    soak loop does); otherwise one is built from ``mimi_cfg``/``engine_cfg``.
+    fresh progress/hub state. Pass ``engine`` to reuse a live,
+    already-claimed engine; otherwise one is built from
+    ``mimi_cfg``/``engine_cfg``.
     """
     import jax
 
-    from tokenize_audio_tpu.config import EngineConfig
-    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
-    from tokenize_audio_tpu.engine import MimiEncoderEngine
     from tokenize_audio_tpu.engine.metrics import EngineStats
-    from tokenize_audio_tpu.hub import LocalHub
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import random_params
 
     tmp = work_root or tempfile.mkdtemp(prefix="pipe_bench_")
     own_tmp = work_root is None
@@ -270,43 +318,16 @@ def run_pipeline_bench(
         )
 
         if engine is None:
-            cfg = mimi_cfg or MimiConfig()
-            progress("params")
-            params = random_params(cfg, seed=0)
-            engine = MimiEncoderEngine(
-                params,
-                cfg,
-                engine_cfg
-                or EngineConfig(
-                    min_bucket_seconds=2.0,
-                    bucket_growth=1.25,
-                    samples_per_batch=192 * 24_000,
-                    max_batch_size=128,
-                ),
-                num_codebooks=cfg.num_quantizers,  # raw stage stores all books
-            )
+            engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
 
-        def run(tag):
-            proc = Yodas2ShardProcessor(
-                "en000",
-                LocalSource(mirror),
-                LocalHub(os.path.join(tmp, f"hub_{tag}")),
-                engine,
-                os.path.join(tmp, f"work_{tag}"),
-                os.path.join(tmp, f"prog_{tag}"),
-                max_subshards=subshards,
-                max_consecutive_missing=2,
-                upload_batch_size=2,
-            )
-            t0 = time.perf_counter()
-            rep = proc.process()
-            return time.perf_counter() - t0, rep
-
-        progress("device_claim+warm_pass")
-        wall_warm, _ = run("warm")  # pass 1: compiles + warms
+        progress("warm_pass")
+        wall_warm, _ = _process_shard_once(
+            tmp, mirror, engine, "warm", subshards
+        )  # pass 1: compiles + warms
         engine.stats = EngineStats()
         progress("measured_pass")
-        wall, rep = run("m")  # fresh hub/progress: re-processes everything
+        # fresh hub/progress: re-processes everything
+        wall, rep = _process_shard_once(tmp, mirror, engine, "m", subshards)
 
         assert rep["processed"] == subshards, rep
         rt = total_audio / wall
@@ -365,13 +386,6 @@ def run_soak(
     """
     import jax
 
-    from tokenize_audio_tpu.config import EngineConfig
-    from tokenize_audio_tpu.datasets.yodas2 import LocalSource, Yodas2ShardProcessor
-    from tokenize_audio_tpu.hub import LocalHub
-    from tokenize_audio_tpu.engine import MimiEncoderEngine
-    from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.mimi.weights import random_params
-
     tmp = work_root or tempfile.mkdtemp(prefix="soak_")
     own_tmp = work_root is None
     try:
@@ -379,55 +393,34 @@ def run_soak(
         progress("build_mirror")
         total_audio, n_chunks = build_mirror(mirror, "en000", subshards, audios, seconds)
 
-        cfg = mimi_cfg or MimiConfig()
-        progress("params")
-        params = random_params(cfg, seed=0)
-        engine = MimiEncoderEngine(
-            params,
-            cfg,
-            engine_cfg
-            or EngineConfig(
-                min_bucket_seconds=2.0,
-                bucket_growth=1.25,
-                samples_per_batch=192 * 24_000,
-                max_batch_size=128,
-            ),
-            num_codebooks=cfg.num_quantizers,
-        )
+        engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
 
         def run_iter(tag):
-            proc = Yodas2ShardProcessor(
-                "en000",
-                LocalSource(mirror),
-                LocalHub(os.path.join(tmp, f"hub_{tag}")),
-                engine,
-                os.path.join(tmp, f"work_{tag}"),
-                os.path.join(tmp, f"prog_{tag}"),
-                max_subshards=subshards,
-                max_consecutive_missing=2,
-                upload_batch_size=2,
-            )
-            t0 = time.perf_counter()
-            rep = proc.process()
-            wall = time.perf_counter() - t0
+            wall, rep = _process_shard_once(tmp, mirror, engine, tag, subshards)
             # a soak accumulates artifacts forever; clean as production does
             for d in (f"hub_{tag}", f"work_{tag}", f"prog_{tag}"):
                 shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
             return wall, rep
 
-        progress("device_claim+warm_pass")
+        progress("warm_pass")
         run_iter("warm")  # compiles; not counted
 
         t_start = time.monotonic()
         iters = []
         errors = []
+        consec_failures = 0
         retries_before = engine.stats.transient_retries
         i = 0
+        # run until the budget elapses (plus one trailing iteration if none
+        # counted yet); a PERSISTENT failure must terminate, not soak
+        # forever — 3 straight failures with zero successes means the path
+        # is broken, so bail instead of burning the whole walltime
         while time.monotonic() - t_start < minutes * 60 or not iters:
             i += 1
             try:
                 wall, rep = run_iter(f"i{i}")
                 assert rep["processed"] == subshards, rep
+                consec_failures = 0
                 iters.append(
                     {
                         "iter": i,
@@ -440,8 +433,16 @@ def run_soak(
                 progress(f"iter_{i}_rt_{iters[-1]['x_realtime']}")
             except Exception as e:  # record, keep soaking (production survives)
                 errors.append({"iter": i, "error": f"{type(e).__name__}: {e}"})
+                consec_failures += 1
                 progress(f"iter_{i}_ERROR")
+                if consec_failures >= 3 and not iters:
+                    break  # broken path, not a transient: fail fast
 
+        if not iters:
+            raise RuntimeError(
+                f"soak: no successful iterations in {len(errors)} attempts; "
+                f"last error: {errors[-1]['error']}"
+            )
         rts = [it["x_realtime"] for it in iters]
         wall_min = (time.monotonic() - t_start) / 60
         return {

@@ -9,6 +9,23 @@ from tokenize_audio_tpu.config import EngineConfig
 from tokenize_audio_tpu.engine import MimiEncoderEngine
 
 
+def _depth_arg(v: str):
+    """--pipeline-depth: 'auto', 'auto-data', or an int >= 1 — validated
+    at parse time (a typo'd 'aut0' or a depth of 0 should be a usage
+    error, not a traceback from deep inside engine construction)."""
+    if v in ("auto", "auto-data"):
+        return v
+    try:
+        iv = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto'/'auto-data', got {v!r}"
+        )
+    if iv < 1:
+        raise argparse.ArgumentTypeError(f"depth must be >= 1, got {iv}")
+    return iv
+
+
 def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument("--params", default=None, help="mimi safetensors checkpoint")
     ap.add_argument("--batch-size", type=int, default=batch_size)
@@ -55,10 +72,12 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--pipeline-depth",
         default=None,
-        help="in-flight device batches (int; engine default 12). 'auto' "
-        "probes {6,12,18} on a synthetic workload at startup; 'auto-data' "
-        "probes on the first real batch. Depth hides per-dispatch RTTs — "
-        "worth +30%% on a tunneled fabric, ~nothing locally",
+        type=_depth_arg,
+        help="in-flight device batches (int >= 1; engine default 12). "
+        "'auto' probes {6,12,18} on a synthetic workload at startup; "
+        "'auto-data' probes on the first real batch. Depth hides "
+        "per-dispatch RTTs — worth +30%% on a tunneled fabric, ~nothing "
+        "locally",
     )
     ap.add_argument(
         "--autotune-seconds",
@@ -186,9 +205,21 @@ def engine_from_args(
             # shard stays compile-free (ADVICE r3)
             run_warmup()
     if fmt_arg == "auto-data" or depth_arg == "auto-data":
+        fmt_before_deferred = engine.engine_cfg.code_transfer_format
+
+        def _rewarm_if_format_switched() -> None:
+            # same contract as the startup-'auto' path above: if the
+            # deferred probe switches wire formats, the startup --warmup
+            # only covered the OLD format's lattices — re-warm so the
+            # rest of the shard stays compile-free instead of paying
+            # each bucket's remote compile lazily mid-run
+            if warmup and engine.engine_cfg.code_transfer_format != fmt_before_deferred:
+                run_warmup()
+
         engine.request_autotune(
             transfer=fmt_arg == "auto-data",
             depth=depth_arg == "auto-data",
             seconds=probe_s,
+            on_complete=_rewarm_if_format_switched,
         )
     return engine

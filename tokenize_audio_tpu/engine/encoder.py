@@ -26,7 +26,7 @@ import dataclasses
 import functools
 import logging
 import math
-from typing import List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -456,6 +456,8 @@ class MimiEncoderEngine:
                     depths=pa["depths"], seconds=pa["seconds"],
                     rounds=pa["rounds"], samples=audios, sr=sr,
                 )
+            if pa.get("on_complete") is not None:
+                pa["on_complete"]()
         rate = self.engine_cfg.sample_rate
         resample_arg, spf_io, domain_sr = self._resample_plan(sr)
         if resample_arg is not None:
@@ -662,8 +664,14 @@ class MimiEncoderEngine:
             utts: List[np.ndarray] = []
             total = 0.0
             for a in samples:
-                utts.append(np.asarray(a))
-                total += len(utts[-1]) / sr
+                arr = np.asarray(a)
+                utts.append(arr)
+                # duration = the time axis, which for 2-D audio is the
+                # LARGE axis (channels live on the small one, <=8 —
+                # _prepare_mono's contract); len() would count channels
+                # for channels-first input and break the seconds cap
+                n = max(arr.shape) if arr.ndim == 2 else arr.size
+                total += n / sr
                 if total >= seconds:
                     break
             if not utts:
@@ -837,13 +845,17 @@ class MimiEncoderEngine:
         seconds: float = 40.0,
         rounds: int = 3,
         depths: Sequence[int] = (6, 12, 18),
+        on_complete: Optional[Callable[[], None]] = None,
     ) -> None:
         """Defer autotuning to the first :meth:`encode_batch` call, which
         probes on THAT call's actual utterances — the real workload's
         length mix and dtype — instead of the synthetic lognormal
         (VERDICT r3 weak #4). The first batch is encoded with the chosen
         config right after the probe; subsequent batches are untouched.
-        CLI: ``--code-transfer-format auto-data`` / ``--pipeline-depth
+        ``on_complete`` (if given) runs after the probes pick, before the
+        triggering batch is encoded — the CLI uses it to re-warm the full
+        bucket lattices when the probe switches wire formats. CLI:
+        ``--code-transfer-format auto-data`` / ``--pipeline-depth
         auto-data``."""
         if self._multiprocess:
             raise RuntimeError(
@@ -856,6 +868,7 @@ class MimiEncoderEngine:
             "seconds": seconds,
             "rounds": rounds,
             "depths": tuple(depths),
+            "on_complete": on_complete,
         }
 
     def _set_transfer_format(self, fmt: str) -> None:

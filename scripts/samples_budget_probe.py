@@ -1,11 +1,14 @@
-"""Within-process A/B probe: engine pipeline_depth x bucket_growth on the
-real chip.
+"""Within-process A/B probe: engine samples_per_batch (the per-dispatch
+audio budget) on the real chip.
 
-Cross-run tunnel numbers swing +-40%, so configurations are compared ONLY
-inside one process, interleaved round-robin (config order re-randomized per
-round) with medians reported. Usage:
+The shipped 192x24k (~3.2 min of audio per call) was picked in r2 when
+"larger budgets measured slower (HBM pressure)" — but the transport
+stack has since changed (packed wire format, tail ladder, depth 12+):
+fewer, larger dispatches amortize more per-call RTT on a latency-bound
+fabric, so the old ranking deserves a re-probe. Interleaved rounds
+within one process, as all probes (NOTES measurement discipline).
 
-    python scripts/pipeline_depth_probe.py [rounds]
+Usage: python scripts/samples_budget_probe.py [rounds]
 """
 
 import statistics
@@ -21,8 +24,8 @@ def main():
     from tokenize_audio_tpu.config import EngineConfig
     from tokenize_audio_tpu.engine import MimiEncoderEngine
     from tokenize_audio_tpu.mimi import MimiConfig
-    from tokenize_audio_tpu.utils import enable_compile_cache
     from tokenize_audio_tpu.mimi.weights import random_params
+    from tokenize_audio_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
     cfg = MimiConfig()
@@ -33,22 +36,16 @@ def main():
 
     audios, total_s = probe_common.bench_audios(256)
 
-    # r3 config (packed + ladder + growth 1.25) shrank per-batch bytes;
-    # re-probe whether a deeper in-flight window now pays (r2 medians:
-    # d2=364x, d4=422-445x, d8=478-485x on the padded format)
     variants = {}
-    for depth in (12, 18, 24):
+    for mult in (128, 192, 288):
         ecfg = EngineConfig(
             min_bucket_seconds=2.0,
             bucket_growth=1.25,
-            samples_per_batch=192 * 24_000,
+            samples_per_batch=mult * 24_000,
             max_batch_size=128,
         )
-        variants[f"d{depth}"] = MimiEncoderEngine(
-            params, cfg, ecfg, pipeline_depth=depth
-        )
+        variants[f"b{mult}"] = MimiEncoderEngine(params, cfg, ecfg, pipeline_depth=18)
 
-    # warm every variant (compile + load)
     for name, eng in variants.items():
         t0 = time.perf_counter()
         eng.encode_batch(audios)

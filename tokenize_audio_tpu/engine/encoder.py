@@ -93,10 +93,14 @@ class MimiEncoderEngine:
         # per-call sync latency. On the tunneled v5e, interleaved A/B
         # (scripts/pipeline_depth_probe.py) medians: r2 (padded format)
         # depth 2 = 364x, 4 = 422-445x, 8 = 478-485x; r3 re-probe on the
-        # packed format: 8 = 399x, 12 = 414x, 16 = 418x (overlapping
-        # ranges — a small monotonic edge consistent with the r2 trend).
-        # 12 in-flight batches is still <250 MB of device buffers.
-        pipeline_depth: int = 12,
+        # packed format: 8 = 399x, 12 = 414x, 16 = 418x; r4 re-probe:
+        # 12 = 341x, 18 = 558x, 24 = 425x (noisy fabric, but 18 >= 12 in
+        # 3/5 rounds and 18 > 24 in 4/5), and the r4 autotune-on-real-data
+        # run picked 18 over 12 and 6 (NOTES r4 item 5). Four independent
+        # measurements agree the curve rises to ~16-18 then flattens or
+        # declines, so 18 is the default; it is still <400 MB of device
+        # buffers. Depth is transport-only — numerics are unaffected.
+        pipeline_depth: int = 18,
     ):
         self.pipeline_depth = pipeline_depth
         self.last_autotune: dict = {}  # per-format median probe seconds

@@ -117,6 +117,31 @@ def test_pipeline_bench_runs_full_path(tmp_path):
     assert uploaded == ["00000000.json", "00000001.json"]
 
 
+@pytest.mark.slow  # heavy compile load; full suite / CI only
+def test_pipeline_bench_source_rate_exercises_resample(tmp_path):
+    """A non-24 kHz mirror (real YODAS2 tars are original-rate web audio)
+    must route every file through the on-device resample stage — the cost
+    the reference pays librosa for (yodas2-mimi/process_shard.py:188) and
+    the 24 kHz default mirror never measures."""
+    res = run_pipeline_bench(
+        subshards=1,
+        audios=2,
+        seconds=5.0,
+        source_rate=(16_000, 48_000),
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+    )
+    d = res["detail"]
+    assert d["source_rates"] == [16_000, 48_000]
+    assert d["chunks"] > 0 and res["value"] > 0
+    # the measured pass decoded + resampled both files on device
+    assert d["engine_stage_seconds"].get("resample", 0) > 0
+    # codes still reached the hub: the full path works at source rate
+    uploaded = list((tmp_path / "hub_m" / "data" / "en000").glob("*.json"))
+    assert len(uploaded) == 1
+
+
 def test_soak_contract(tmp_path):
     """run_soak loops whole pipeline volumes through ONE long-lived engine
     until the time budget elapses, reporting the sustained band and

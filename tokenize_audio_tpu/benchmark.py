@@ -243,10 +243,17 @@ def run_engine_bench(
 def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
     """Synthetic YODAS2-layout local mirror: per sub-shard a tar.gz of WAVs
     plus the chunk-id metadata JSON (centisecond spans, reference id scheme
-    yodas2-mimi/process_shard.py:400-427)."""
+    yodas2-mimi/process_shard.py:400-427).
+
+    ``sr`` is an int or a sequence of ints cycled per audio: real YODAS2
+    tars hold ORIGINAL-rate WAVs (16/44.1/48 kHz web audio), and the
+    reference pays a librosa resample to 24 kHz per file
+    (yodas2-mimi/process_shard.py:188) — a source-rate mirror makes the
+    pipeline bench exercise the on-device resample stage the same way."""
     rng = np.random.default_rng(0)
     from tokenize_audio_tpu.io import write_wav
 
+    rates = [sr] if isinstance(sr, int) else list(sr)
     total_audio = 0.0
     n_chunks = 0
     for s in range(subshards):
@@ -257,6 +264,7 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
         os.makedirs(wav_dir, exist_ok=True)
         meta = []
         for a in range(audios_per):
+            sr = rates[a % len(rates)]
             audio_id = f"vid-{sid}-{a}"
             t = np.arange(int(seconds * sr)) / sr
             x = (
@@ -290,6 +298,7 @@ def run_pipeline_bench(
     subshards: int = 4,
     audios: int = 6,
     seconds: float = 90.0,
+    source_rate=24_000,
     mimi_cfg=None,
     engine_cfg=None,
     engine=None,
@@ -303,6 +312,12 @@ def run_pipeline_bench(
     fresh progress/hub state. Pass ``engine`` to reuse a live,
     already-claimed engine; otherwise one is built from
     ``mimi_cfg``/``engine_cfg``.
+
+    ``source_rate`` (int or sequence, cycled per audio) sets the mirror's
+    WAV sample rates: non-24 kHz sources add the per-file on-device
+    resample the reference pays librosa for on real YODAS2 audio
+    (yodas2-mimi/process_shard.py:188) — the 24 kHz default measures the
+    resample-free path.
     """
     import jax
 
@@ -314,7 +329,7 @@ def run_pipeline_bench(
         mirror = os.path.join(tmp, "mirror")
         progress("build_mirror")
         total_audio, n_chunks = build_mirror(
-            mirror, "en000", subshards, audios, seconds
+            mirror, "en000", subshards, audios, seconds, sr=source_rate
         )
 
         if engine is None:
@@ -342,6 +357,9 @@ def run_pipeline_bench(
                 "wall_seconds": round(wall, 2),
                 "chunks": n_chunks,
                 "subshards": subshards,
+                "source_rates": [source_rate]
+                if isinstance(source_rate, int)
+                else list(source_rate),
                 "transient_retries": engine.stats.transient_retries,
                 "engine_stage_seconds": {
                     k: round(v, 2) for k, v in engine.stats.stage_seconds.items()
@@ -364,6 +382,7 @@ def run_soak(
     subshards: int = 4,
     audios: int = 6,
     seconds: float = 90.0,
+    source_rate=24_000,
     mimi_cfg=None,
     engine_cfg=None,
     work_root: Optional[str] = None,
@@ -391,7 +410,9 @@ def run_soak(
     try:
         mirror = os.path.join(tmp, "mirror")
         progress("build_mirror")
-        total_audio, n_chunks = build_mirror(mirror, "en000", subshards, audios, seconds)
+        total_audio, n_chunks = build_mirror(
+            mirror, "en000", subshards, audios, seconds, sr=source_rate
+        )
 
         engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
 
@@ -453,6 +474,9 @@ def run_soak(
             "detail": {
                 "device": str(jax.devices()[0]),
                 "soak_minutes": round(wall_min, 1),
+                "source_rates": [source_rate]
+                if isinstance(source_rate, int)
+                else list(source_rate),
                 "iterations": len(iters),
                 "audio_hours_processed": round(len(iters) * total_audio / 3600, 2),
                 "chunks_per_iter": n_chunks,
@@ -491,6 +515,14 @@ def main(argv=None) -> int:
     ap.add_argument("--subshards", type=int, default=4, help="pipeline: sub-shards")
     ap.add_argument("--audios", type=int, default=6, help="pipeline: audios per sub-shard")
     ap.add_argument("--seconds", type=float, default=90.0, help="pipeline: seconds per audio")
+    ap.add_argument(
+        "--source-rate",
+        default="24000",
+        metavar="HZ[,HZ...]",
+        help="pipeline/soak: mirror WAV sample rate(s), cycled per audio "
+        "(e.g. 16000,48000 — real YODAS2 tars are original-rate web audio, "
+        "so non-24 kHz adds the per-file on-device resample to the path)",
+    )
     ap.add_argument("--utterances", type=int, default=256, help="engine: workload size")
     ap.add_argument("--passes", type=int, default=5, help="engine: measured passes")
     ap.add_argument(
@@ -508,12 +540,15 @@ def main(argv=None) -> int:
     def progress(stage: str) -> None:
         print(json.dumps({"hb": stage}), file=sys.stderr, flush=True)
 
+    rates = tuple(int(r) for r in str(args.source_rate).split(","))
+    source_rate = rates[0] if len(rates) == 1 else rates
     if args.soak is not None:
         result = run_soak(
             minutes=args.soak,
             subshards=args.subshards,
             audios=args.audios,
             seconds=args.seconds,
+            source_rate=source_rate,
             progress=progress,
         )
     elif args.pipeline:
@@ -521,6 +556,7 @@ def main(argv=None) -> int:
             subshards=args.subshards,
             audios=args.audios,
             seconds=args.seconds,
+            source_rate=source_rate,
             progress=progress,
         )
     else:

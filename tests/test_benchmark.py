@@ -240,3 +240,124 @@ def test_benchmark_cli_pipeline(tmp_path, capsys, monkeypatch):
     assert len(out) == 1
     res = json.loads(out[0])
     assert res["metric"] == "pipeline_audio_hours_per_hour_per_chip"
+
+def test_soak_failed_iteration_still_cleans_artifacts(tmp_path, monkeypatch):
+    """A FAILED soak iteration must not leak its hub_/work_/prog_ dirs —
+    under disk pressure (the kind of failure a soak exists to surface) a
+    leak per failed iteration would actively worsen the condition."""
+    import os
+
+    import tokenize_audio_tpu.benchmark as B
+
+    def write_then_break(tmp, mirror, engine, tag, subshards):
+        if tag == "warm":
+            return 0.1, {"processed": subshards}
+        for d in (f"hub_{tag}", f"work_{tag}", f"prog_{tag}"):
+            os.makedirs(os.path.join(tmp, d), exist_ok=True)
+        raise OSError("disk full mid-shard")
+
+    monkeypatch.setattr(B, "_process_shard_once", write_then_break)
+    with pytest.raises(RuntimeError, match="no successful iterations"):
+        B.run_soak(
+            minutes=10.0,
+            subshards=1,
+            audios=1,
+            seconds=4.0,
+            mimi_cfg=tiny_jax_config(),
+            engine_cfg=tiny_engine_cfg(),
+            work_root=str(tmp_path),
+        )
+    leaked = list(tmp_path.glob("hub_i*")) + list(tmp_path.glob("work_i*"))
+    assert leaked == []
+
+
+def test_soak_caps_error_log_and_backs_off(tmp_path, monkeypatch):
+    """After one success, a persistent fast failure must not spin at
+    failure speed for the whole budget nor grow the returned error list
+    unboundedly: errors are capped at 100 (total in error_count) and each
+    retry backs off."""
+    import tokenize_audio_tpu.benchmark as B
+
+    sleeps = []
+    monkeypatch.setattr(B.time, "sleep", lambda s: sleeps.append(s))
+    state = {"n": 0}
+
+    def one_success_then_broken(tmp, mirror, engine, tag, subshards):
+        if tag in ("warm", "i1"):
+            return 0.1, {"processed": subshards}
+        state["n"] += 1
+        if state["n"] >= 150:  # stop the budget loop via monotonic patch
+            clock["t"] += 10_000.0
+        raise OSError("broken")
+
+    clock = {"t": 0.0}
+    real_monotonic = B.time.monotonic
+    monkeypatch.setattr(
+        B.time, "monotonic", lambda: real_monotonic() + clock["t"]
+    )
+    monkeypatch.setattr(B, "_process_shard_once", one_success_then_broken)
+    res = B.run_soak(
+        minutes=10.0,
+        subshards=1,
+        audios=1,
+        seconds=4.0,
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+    )
+    d = res["detail"]
+    assert d["iterations"] == 1
+    assert d["error_count"] == state["n"] >= 150
+    assert len(d["iteration_errors"]) == 100  # capped
+    assert len(sleeps) == state["n"]  # every post-success failure backs off
+    assert max(sleeps) == 30.0  # and the backoff is bounded
+
+
+def test_build_mirror_rejects_chunkless_seconds(tmp_path):
+    """seconds <= 2 would emit zero chunks while still counting the full
+    audio — a silently bogus x_realtime; it must be a usage error."""
+    from tokenize_audio_tpu.benchmark import build_mirror
+
+    with pytest.raises(ValueError, match="seconds"):
+        build_mirror(str(tmp_path), "en000", 1, 1, seconds=2.0)
+
+
+def test_engine_bench_rejects_zero_passes():
+    """passes < 1 must fail at entry, not with a max()-on-empty ValueError
+    after minutes of device claim + warmup."""
+    with pytest.raises(ValueError, match="passes"):
+        run_engine_bench(passes=0, mimi_cfg=tiny_jax_config())
+
+
+def test_source_rate_arg_parsing():
+    """--source-rate tolerates whitespace/trailing commas and rejects
+    garbage as a usage error, not a deep int() traceback."""
+    import argparse
+
+    from tokenize_audio_tpu.benchmark import _rates_arg
+
+    assert _rates_arg("24000") == 24000
+    assert _rates_arg("16000, 48000") == (16000, 48000)
+    assert _rates_arg("16000,") == 16000
+    for bad in ("", ",", "abc", "16000,-1", "0"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _rates_arg(bad)
+
+
+def test_benchmark_cli_keeps_headline_when_fused_stage_raises(monkeypatch, capsys):
+    """The packaged CLI must not lose an already-measured headline to a
+    fused-stage failure (bench.py's wrapper got this protection first; the
+    module CLI is what OPERATIONS points operators at)."""
+    import tokenize_audio_tpu.benchmark as B
+
+    headline = {"metric": "audio_hours_per_hour_per_chip", "value": 1.0}
+
+    def fake_bench(**kw):
+        kw["on_headline"](headline)
+        raise RuntimeError("fused stage wedged")
+
+    monkeypatch.setattr(B, "run_engine_bench", fake_bench)
+    with pytest.raises(RuntimeError, match="fused stage wedged"):
+        B.main([])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1]) == headline

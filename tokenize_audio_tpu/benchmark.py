@@ -148,6 +148,8 @@ def run_engine_bench(
     from tokenize_audio_tpu.mimi import MimiConfig
     from tokenize_audio_tpu.mimi.weights import random_params
 
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
     cfg = mimi_cfg or MimiConfig()
     _claim_device(progress)
     progress("params")
@@ -250,6 +252,12 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
     reference pays a librosa resample to 24 kHz per file
     (yodas2-mimi/process_shard.py:188) — a source-rate mirror makes the
     pipeline bench exercise the on-device resample stage the same way."""
+    # the chunk loop below needs headroom past the minimum 1.5 s chunk:
+    # at seconds <= 2 it emits ZERO chunks while total_audio still counts
+    # the full files — the bench would "process" everything, encode
+    # nothing, and report a bogus x_realtime
+    if seconds <= 2.0:
+        raise ValueError(f"seconds must be > 2.0 to emit chunks, got {seconds}")
     rng = np.random.default_rng(0)
     from tokenize_audio_tpu.io import write_wav
 
@@ -417,11 +425,15 @@ def run_soak(
         engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
 
         def run_iter(tag):
-            wall, rep = _process_shard_once(tmp, mirror, engine, tag, subshards)
-            # a soak accumulates artifacts forever; clean as production does
-            for d in (f"hub_{tag}", f"work_{tag}", f"prog_{tag}"):
-                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
-            return wall, rep
+            # a soak accumulates artifacts forever; clean as production
+            # does — in a finally, so a FAILED iteration (the case a soak
+            # exists to surface) doesn't leak its partial dirs and turn a
+            # disk-pressure failure into disk exhaustion
+            try:
+                return _process_shard_once(tmp, mirror, engine, tag, subshards)
+            finally:
+                for d in (f"hub_{tag}", f"work_{tag}", f"prog_{tag}"):
+                    shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
 
         progress("warm_pass")
         run_iter("warm")  # compiles; not counted
@@ -429,6 +441,7 @@ def run_soak(
         t_start = time.monotonic()
         iters = []
         errors = []
+        n_errors = 0
         consec_failures = 0
         retries_before = engine.stats.transient_retries
         i = 0
@@ -453,15 +466,27 @@ def run_soak(
                 )
                 progress(f"iter_{i}_rt_{iters[-1]['x_realtime']}")
             except Exception as e:  # record, keep soaking (production survives)
-                errors.append({"iter": i, "error": f"{type(e).__name__}: {e}"})
+                # bound the error log: a persistent FAST failure after one
+                # early success would otherwise spin at failure speed for
+                # the whole budget and return millions of entries verbatim
+                # in the one-JSON-line result
+                if len(errors) < 100:
+                    errors.append({"iter": i, "error": f"{type(e).__name__}: {e}"})
+                n_errors += 1
                 consec_failures += 1
                 progress(f"iter_{i}_ERROR")
-                if consec_failures >= 3 and not iters:
-                    break  # broken path, not a transient: fail fast
+                if not iters:
+                    if consec_failures >= 3:
+                        break  # broken path, not a transient: fail fast
+                else:
+                    # back off before retrying so a persistent fast failure
+                    # after an early success doesn't spin at failure speed
+                    # for the whole budget
+                    time.sleep(min(30.0, 2.0 * consec_failures))
 
         if not iters:
             raise RuntimeError(
-                f"soak: no successful iterations in {len(errors)} attempts; "
+                f"soak: no successful iterations in {n_errors} attempts; "
                 f"last error: {errors[-1]['error']}"
             )
         rts = [it["x_realtime"] for it in iters]
@@ -485,13 +510,31 @@ def run_soak(
                 "rt_max": max(rts),
                 "band_pct": round(100 * (max(rts) - min(rts)) / float(np.median(rts)), 1),
                 "transient_retries": engine.stats.transient_retries - retries_before,
-                "iteration_errors": errors,
+                "error_count": n_errors,
+                "iteration_errors": errors,  # first 100 only
                 "per_iteration": iters,
             },
         }
     finally:
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rates_arg(value: str):
+    """Parse ``--source-rate`` ("24000" or "16000,48000") into an int or a
+    tuple of ints, as a proper usage error rather than a deep traceback."""
+    parts = [p.strip() for p in str(value).split(",")]
+    try:
+        rates = tuple(int(p) for p in parts if p)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected HZ or a comma-list of HZ, got {value!r}"
+        )
+    if not rates or any(r <= 0 for r in rates):
+        raise argparse.ArgumentTypeError(
+            f"expected positive sample rate(s), got {value!r}"
+        )
+    return rates[0] if len(rates) == 1 else rates
 
 
 def main(argv=None) -> int:
@@ -517,7 +560,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=90.0, help="pipeline: seconds per audio")
     ap.add_argument(
         "--source-rate",
-        default="24000",
+        default=24_000,
+        type=_rates_arg,
         metavar="HZ[,HZ...]",
         help="pipeline/soak: mirror WAV sample rate(s), cycled per audio "
         "(e.g. 16000,48000 — real YODAS2 tars are original-rate web audio, "
@@ -540,8 +584,7 @@ def main(argv=None) -> int:
     def progress(stage: str) -> None:
         print(json.dumps({"hb": stage}), file=sys.stderr, flush=True)
 
-    rates = tuple(int(r) for r in str(args.source_rate).split(","))
-    source_rate = rates[0] if len(rates) == 1 else rates
+    source_rate = args.source_rate
     if args.soak is not None:
         result = run_soak(
             minutes=args.soak,
@@ -560,12 +603,24 @@ def main(argv=None) -> int:
             progress=progress,
         )
     else:
-        result = run_engine_bench(
-            n_utts=args.utterances,
-            passes=args.passes,
-            progress=progress,
-            fused_16k=not args.no_fused_16k,
-        )
+        # the headline must be unlosable here too: if the optional fused
+        # stage raises or the operator interrupts a wedged fused compile,
+        # the already-measured headline still reaches stdout (same
+        # protection the root bench.py wrapper has — r4 post-mortem)
+        stash: dict = {}
+        try:
+            result = run_engine_bench(
+                n_utts=args.utterances,
+                passes=args.passes,
+                progress=progress,
+                on_headline=lambda r: stash.update(result=r),
+                fused_16k=not args.no_fused_16k,
+            )
+        except BaseException:
+            if "result" in stash:
+                print(json.dumps(stash["result"]))
+                sys.stdout.flush()
+            raise
     print(json.dumps(result))
     return 0
 

@@ -73,7 +73,7 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         "--pipeline-depth",
         default=None,
         type=_depth_arg,
-        help="in-flight device batches (int >= 1; engine default 12). "
+        help="in-flight device batches (int >= 1; engine default 18). "
         "'auto' probes {6,12,18} on a synthetic workload at startup; "
         "'auto-data' probes on the first real batch. Depth hides "
         "per-dispatch RTTs — worth +30%% on a tunneled fabric, ~nothing "

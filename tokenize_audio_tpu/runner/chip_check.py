@@ -99,6 +99,12 @@ def check_chip(
             f"{injected} — this fabric ignores those vars; find the ones "
             "it honors and pass them to the pod runner via --chip-env"
         )
+    elif not report["ok"]:
+        report["error"] = (
+            "child enumerated exactly one device but its jitted compute "
+            "check failed (compute_ok=false) — the chip claims but "
+            "miscomputes; see report['child'] for the device string"
+        )
     return report
 
 

@@ -309,8 +309,15 @@ def test_soak_caps_error_log_and_backs_off(tmp_path, monkeypatch):
     assert d["iterations"] == 1
     assert d["error_count"] == state["n"] >= 150
     assert len(d["iteration_errors"]) == 100  # capped
+    # the MOST RECENT error survives the cap (a failure mode that changes
+    # late in a long soak must stay visible, not just counted)
+    assert d["last_error"]["iter"] > d["iteration_errors"][-1]["iter"]
     assert len(sleeps) == state["n"]  # every post-success failure backs off
     assert max(sleeps) == 30.0  # and the backoff is bounded
+    # the backoff is clamped to the remaining budget: once the patched
+    # clock jumped past budget_end, the final sleep must be ~0 — an
+    # expired soak exits instead of oversleeping up to 30 s
+    assert sleeps[-1] == 0.0
 
 
 def test_build_mirror_rejects_chunkless_seconds(tmp_path):
@@ -320,6 +327,19 @@ def test_build_mirror_rejects_chunkless_seconds(tmp_path):
 
     with pytest.raises(ValueError, match="seconds"):
         build_mirror(str(tmp_path), "en000", 1, 1, seconds=2.0)
+
+
+def test_seconds_arg_is_a_usage_error():
+    """--seconds 2 must report an argparse usage error (like --passes and
+    --source-rate), not the library guard's deep ValueError traceback."""
+    import argparse
+
+    from tokenize_audio_tpu.benchmark import _seconds_arg
+
+    assert _seconds_arg("4.5") == 4.5
+    for bad in ("2", "2.0", "-1", "abc"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _seconds_arg(bad)
 
 
 def test_engine_bench_rejects_zero_passes():

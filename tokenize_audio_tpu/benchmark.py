@@ -439,8 +439,12 @@ def run_soak(
         run_iter("warm")  # compiles; not counted
 
         t_start = time.monotonic()
+        budget_end = t_start + minutes * 60
         iters = []
         errors = []
+        last_error = None  # most recent error, kept even past the 100 cap:
+        # a failure mode that CHANGES late in a long soak (disk-full after
+        # hours of transient network errors) must stay visible
         n_errors = 0
         consec_failures = 0
         retries_before = engine.stats.transient_retries
@@ -449,7 +453,7 @@ def run_soak(
         # counted yet); a PERSISTENT failure must terminate, not soak
         # forever — 3 straight failures with zero successes means the path
         # is broken, so bail instead of burning the whole walltime
-        while time.monotonic() - t_start < minutes * 60 or not iters:
+        while time.monotonic() < budget_end or not iters:
             i += 1
             try:
                 wall, rep = run_iter(f"i{i}")
@@ -470,8 +474,9 @@ def run_soak(
                 # early success would otherwise spin at failure speed for
                 # the whole budget and return millions of entries verbatim
                 # in the one-JSON-line result
+                last_error = {"iter": i, "error": f"{type(e).__name__}: {e}"}
                 if len(errors) < 100:
-                    errors.append({"iter": i, "error": f"{type(e).__name__}: {e}"})
+                    errors.append(last_error)
                 n_errors += 1
                 consec_failures += 1
                 progress(f"iter_{i}_ERROR")
@@ -481,13 +486,20 @@ def run_soak(
                 else:
                     # back off before retrying so a persistent fast failure
                     # after an early success doesn't spin at failure speed
-                    # for the whole budget
-                    time.sleep(min(30.0, 2.0 * consec_failures))
+                    # for the whole budget — clamped to the remaining budget
+                    # so an expired soak exits instead of oversleeping
+                    time.sleep(
+                        min(
+                            30.0,
+                            2.0 * consec_failures,
+                            max(0.0, budget_end - time.monotonic()),
+                        )
+                    )
 
         if not iters:
             raise RuntimeError(
                 f"soak: no successful iterations in {n_errors} attempts; "
-                f"last error: {errors[-1]['error']}"
+                f"last error: {last_error['error']}"
             )
         rts = [it["x_realtime"] for it in iters]
         wall_min = (time.monotonic() - t_start) / 60
@@ -512,12 +524,28 @@ def run_soak(
                 "transient_retries": engine.stats.transient_retries - retries_before,
                 "error_count": n_errors,
                 "iteration_errors": errors,  # first 100 only
+                "last_error": last_error,  # survives the 100 cap
                 "per_iteration": iters,
             },
         }
     finally:
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _seconds_arg(value: str):
+    """Parse ``--seconds`` as a proper usage error instead of the deep
+    ValueError traceback build_mirror's library-level guard raises."""
+    try:
+        s = float(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"expected a number, got {value!r}")
+    if s <= 2.0:
+        raise argparse.ArgumentTypeError(
+            f"--seconds must be > 2.0 (shorter mirror files emit zero "
+            f"chunks and the bench would measure nothing), got {value}"
+        )
+    return s
 
 
 def _rates_arg(value: str):
@@ -557,7 +585,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--subshards", type=int, default=4, help="pipeline: sub-shards")
     ap.add_argument("--audios", type=int, default=6, help="pipeline: audios per sub-shard")
-    ap.add_argument("--seconds", type=float, default=90.0, help="pipeline: seconds per audio")
+    ap.add_argument(
+        "--seconds", type=_seconds_arg, default=90.0,
+        help="pipeline: seconds per audio (must be > 2.0)",
+    )
     ap.add_argument(
         "--source-rate",
         default=24_000,

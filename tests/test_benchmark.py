@@ -381,3 +381,31 @@ def test_benchmark_cli_keeps_headline_when_fused_stage_raises(monkeypatch, capsy
         B.main([])
     out = capsys.readouterr().out.strip().splitlines()
     assert json.loads(out[-1]) == headline
+
+
+@pytest.mark.slow  # heavy compile load; full suite / CI only
+def test_compare_mode_same_chunk_set(tmp_path):
+    """run_compare times encode_batch over the EXACT chunks the pipeline
+    encodes, then the full path over the same mirror, in one process — the
+    only fabric-noise-immune way to measure the pipeline-vs-engine gap."""
+    from tokenize_audio_tpu.benchmark import run_compare
+
+    res = run_compare(
+        subshards=2,
+        audios=1,
+        seconds=5.0,
+        passes=2,
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+    )
+    assert res["metric"] == "pipeline_vs_engine_ratio"
+    assert 0 < res["value"] <= 1.5  # host work can only slow it down
+    d = res["detail"]
+    assert d["chunks"] > 0
+    assert len(d["engine_wall_seconds"]) == 2
+    assert len(d["pipeline_wall_seconds"]) == 2
+    # the per-stage table must carry the host stages the gap hides in
+    for k in ("host_decode", "host_serialize", "host_extract", "hub_upload"):
+        assert k in d["pipeline_stage_seconds"], d["pipeline_stage_seconds"]
+    json.dumps(res)

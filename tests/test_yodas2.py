@@ -428,3 +428,47 @@ def test_failed_entries_block_upload_then_retry_succeeds(tmp_path, rng, tiny_ora
     rep2 = make_proc().process()
     assert rep2["processed"] == 1 and rep2["uploaded"] == 1
     assert hub.exists("data/en000/00000000.json")
+
+
+def test_entry_json_fast_path_parses_identically():
+    """_entry_to_json's LUT fast path (io/jsonfast.py) must parse to
+    exactly what the old tolist+json.dumps form produced — the uint16 JSON
+    int-list format is the reference's storage contract
+    (yodas2-mimi/process_shard.py:520-523)."""
+    from tokenize_audio_tpu.datasets.yodas2 import _entry_to_json
+
+    rng = np.random.default_rng(3)
+    e = {
+        "audio_id": "vid-x",
+        "text": {"vid-x-00000-00000000-00000150": "hi"},
+        "codes": {
+            "vid-x-00000-00000000-00000150": rng.integers(
+                0, 2048, size=(12, 17), dtype=np.uint16
+            ),
+            "empty": np.zeros((12, 0), dtype=np.uint16),
+        },
+    }
+    legacy = json.dumps(
+        {**e, "codes": {c: np.asarray(v).tolist() for c, v in e["codes"].items()}}
+    )
+    assert json.loads(_entry_to_json(e)) == json.loads(legacy)
+    # codes-less entries (failed audio) serialize unchanged
+    assert json.loads(_entry_to_json({"audio_id": "y"})) == {"audio_id": "y"}
+
+
+def test_int_matrix_to_json_contract():
+    """The fast serializer round-trips every shape/edge the pipeline can
+    produce and falls back to json.dumps outside the uint16 range."""
+    from tokenize_audio_tpu.io.jsonfast import int_matrix_to_json as f
+
+    rng = np.random.default_rng(0)
+    for a in (
+        rng.integers(0, 65536, size=(8, 301), dtype=np.uint16),
+        np.array([0, 9, 10, 99, 100, 65535], dtype=np.uint16),
+        np.zeros((4, 0), dtype=np.uint16),
+        np.zeros((0, 4), dtype=np.int32),
+        np.zeros(0, dtype=np.uint16),
+        np.array([[70000, -3]], dtype=np.int64),  # out of range: fallback
+        np.array([1.5, 2.5]),  # non-integer: fallback
+    ):
+        assert json.loads(f(a)) == json.loads(json.dumps(np.asarray(a).tolist()))

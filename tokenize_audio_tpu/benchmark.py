@@ -2,6 +2,7 @@
 
     python -m tokenize_audio_tpu.benchmark             # engine bench
     python -m tokenize_audio_tpu.benchmark --pipeline  # full YODAS2 path
+    python -m tokenize_audio_tpu.benchmark --compare   # pipeline/engine ratio
     python -m tokenize_audio_tpu.benchmark --soak 30   # sustained soak (min)
 
 Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}.
@@ -381,6 +382,131 @@ def run_pipeline_bench(
 
 
 # ---------------------------------------------------------------------------
+# pipeline-vs-engine comparison (one process, one engine, same chunk set)
+
+
+def run_compare(
+    *,
+    subshards: int = 4,
+    audios: int = 6,
+    seconds: float = 90.0,
+    source_rate=24_000,
+    passes: int = 3,
+    mimi_cfg=None,
+    engine_cfg=None,
+    work_root: Optional[str] = None,
+    progress: Callable[[str], None] = _noop,
+) -> dict:
+    """Measure how much of the engine's throughput the FULL pipeline
+    delivers, within one process on one engine (VERDICT r4 #1's receipt).
+
+    Cross-run numbers through the tunneled fabric swing ±40%, so the
+    pipeline-vs-engine gap can only be measured within a single process:
+    this decodes + slices the mirror's chunks ONCE on the host, times
+    ``encode_batch`` alone over exactly those chunks (best of ``passes``),
+    then times the whole production path (fetch/extract/decode/slice/
+    encode/serialize/upload) over the same mirror. The ratio is
+    engine_wall / pipeline_wall — identical encode work, so everything
+    below 1.0 is host-pipeline cost — and the per-stage table says where
+    it went.
+    """
+    import jax
+
+    from tokenize_audio_tpu.datasets.yodas2 import (
+        LocalSource,
+        SubShardProcessor,
+        slice_chunks,
+    )
+    from tokenize_audio_tpu.engine.metrics import EngineStats
+
+    tmp = work_root or tempfile.mkdtemp(prefix="compare_bench_")
+    own_tmp = work_root is None
+    try:
+        mirror = os.path.join(tmp, "mirror")
+        progress("build_mirror")
+        total_audio, n_chunks = build_mirror(
+            mirror, "en000", subshards, audios, seconds, sr=source_rate
+        )
+        engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
+
+        # host-side decode + slice, once: the exact segments the pipeline
+        # will encode
+        progress("slice_chunks")
+        src = LocalSource(mirror)
+        sub_work = os.path.join(tmp, "work_slice")
+        os.makedirs(sub_work, exist_ok=True)
+        sub = SubShardProcessor(engine, sub_work)
+        segments = []
+        for s in range(subshards):
+            sid = f"{s:08d}"
+            tar_path, txt_path = src.fetch("en000", sid, sub_work)
+            sub.prepare(tar_path)
+            with open(txt_path) as f:
+                meta = json.load(f)
+            for entry in meta:
+                audio = sub._load_entry_audio(entry, sub._extract_dir_for(tar_path))
+                assert audio is not None, entry["audio_id"]
+                _, segs = slice_chunks(audio, entry.get("text", {}), sub.sample_rate)
+                segments.extend(segs)
+        assert len(segments) == n_chunks, (len(segments), n_chunks)
+        chunk_audio = sum(len(x) for x in segments) / engine.engine_cfg.sample_rate
+
+        progress("engine_warm")
+        engine.encode_batch(segments)  # compiles + warms every bucket shape
+        eng_walls = []
+        for i in range(passes):
+            progress(f"engine_pass_{i + 1}")
+            t0 = time.perf_counter()
+            engine.encode_batch(segments)
+            eng_walls.append(time.perf_counter() - t0)
+        eng_wall = min(eng_walls)
+
+        progress("pipeline_warm")
+        wall_warm, _ = _process_shard_once(tmp, mirror, engine, "warm", subshards)
+        pipe_walls = []
+        stats = None
+        for i in range(passes):
+            engine.stats = EngineStats()
+            progress(f"pipeline_pass_{i + 1}")
+            wall, rep = _process_shard_once(tmp, mirror, engine, f"p{i}", subshards)
+            assert rep["processed"] == subshards, rep
+            pipe_walls.append(wall)
+            if wall == min(pipe_walls):
+                stats = engine.stats
+            for d in (f"hub_p{i}", f"work_p{i}", f"prog_p{i}"):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+        pipe_wall = min(pipe_walls)
+
+        ratio = eng_wall / pipe_wall  # same chunk set on both sides
+        return {
+            "metric": "pipeline_vs_engine_ratio",
+            "value": round(ratio, 3),
+            "unit": "ratio",
+            "vs_baseline": round(ratio / 0.75, 3),  # VERDICT r4 #1 target
+            "detail": {
+                "device": str(jax.devices()[0]),
+                "chunk_audio_seconds": round(chunk_audio, 1),
+                "chunks": n_chunks,
+                "subshards": subshards,
+                "engine_wall_seconds": [round(w, 3) for w in eng_walls],
+                "pipeline_wall_seconds": [round(w, 3) for w in pipe_walls],
+                "engine_x_realtime": round(chunk_audio / eng_wall, 1),
+                "pipeline_x_realtime": round(total_audio / pipe_wall, 1),
+                "pipeline_x_realtime_chunk_basis": round(chunk_audio / pipe_wall, 1),
+                "warm_pass_seconds": round(wall_warm, 2),
+                # host_* stages are summed worker-THREAD seconds (overlap
+                # encode); engine stages are main-thread wall
+                "pipeline_stage_seconds": {
+                    k: round(v, 3) for k, v in stats.stage_seconds.items()
+                },
+            },
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # production-path soak
 
 
@@ -575,6 +701,13 @@ def main(argv=None) -> int:
         help="full YODAS2 production path instead of the engine-only bench",
     )
     ap.add_argument(
+        "--compare",
+        action="store_true",
+        help="pipeline-vs-engine ratio within ONE process: time encode_batch "
+        "over the mirror's exact chunk set, then the full production path "
+        "over the same mirror (target ratio >= 0.75, VERDICT r4 #1)",
+    )
+    ap.add_argument(
         "--soak",
         type=float,
         default=None,
@@ -623,6 +756,15 @@ def main(argv=None) -> int:
             audios=args.audios,
             seconds=args.seconds,
             source_rate=source_rate,
+            progress=progress,
+        )
+    elif args.compare:
+        result = run_compare(
+            subshards=args.subshards,
+            audios=args.audios,
+            seconds=args.seconds,
+            source_rate=source_rate,
+            passes=args.passes,
             progress=progress,
         )
     elif args.pipeline:

@@ -1,6 +1,8 @@
 """Engine tests: bucketed batch encode vs standalone oracle, 60 s split
 policy, resampling path, multi-device dp sharding equivalence, metrics."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -820,3 +822,39 @@ def test_engine_autotune_single_candidate_skips_probe(tiny_oracle, monkeypatch):
     )
     assert eng.autotune_transfer(seconds=5.0) == "padded"
     assert eng.engine_cfg.code_transfer_format == "padded"
+
+
+def test_drain_policy_ready_bit_equal(tiny_oracle, rng):
+    """drain_policy="ready" collects in-flight batches out of dispatch
+    order (whichever device handle is ready first) — pure transport
+    scheduling: output order and bits must match FIFO exactly, across
+    multiple buckets and tail groups kept in flight at depth 4."""
+    _, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=4.0)
+    lengths = [1000, 5000, 19200, 26000, 7777, 1920, 600, 95000, 3333, 40000]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths]
+    fifo = MimiEncoderEngine(params, cfg, ecfg, pipeline_depth=4)
+    ready = MimiEncoderEngine(
+        params,
+        cfg,
+        dataclasses.replace(ecfg, drain_policy="ready"),
+        pipeline_depth=4,
+    )
+    got_f = fifo.encode_batch(audios)
+    got_r = ready.encode_batch(audios)
+    assert len(got_f) == len(got_r) == len(audios)
+    for a, b in zip(got_f, got_r):
+        assert a.shape == b.shape and (a == b).all()
+    # stats account the same frames either way
+    assert fifo.stats.frames == ready.stats.frames
+
+
+def test_drain_policy_validated():
+    from tests.mimi_fixtures import tiny_jax_config
+    from tokenize_audio_tpu.mimi.weights import random_params
+
+    cfg = tiny_jax_config()
+    with pytest.raises(ValueError, match="drain_policy"):
+        MimiEncoderEngine(
+            random_params(cfg, seed=0), cfg, EngineConfig(drain_policy="lifo")
+        )

@@ -80,6 +80,15 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
         "locally",
     )
     ap.add_argument(
+        "--drain-policy",
+        default=None,
+        choices=["fifo", "ready"],
+        help="in-flight batch collection order (default EngineConfig "
+        "default): fifo = dispatch order; ready = collect whichever "
+        "handle is ready first, overlapping per-fetch RTTs with compute. "
+        "Bit- and order-identical either way (pure transport scheduling)",
+    )
+    ap.add_argument(
         "--autotune-seconds",
         type=float,
         default=40.0,
@@ -147,6 +156,8 @@ def engine_from_args(
     fmt_arg = getattr(args, "code_transfer_format", None)
     if fmt_arg is not None and fmt_arg not in ("auto", "auto-data"):
         engine_overrides.setdefault("code_transfer_format", fmt_arg)
+    if getattr(args, "drain_policy", None) is not None:
+        engine_overrides.setdefault("drain_policy", args.drain_policy)
     depth_arg = getattr(args, "pipeline_depth", None)
     depth_kw = {}
     if depth_arg is not None and depth_arg not in ("auto", "auto-data"):

@@ -132,6 +132,18 @@ class EngineConfig:
     # MimiEncoderEngine.autotune_transfer() (CLI --code-transfer-format
     # auto) runs that probe at provisioning time and keeps the winner.
     code_transfer_format: str = "packed"
+    # device->host collection order for in-flight batches:
+    #   "fifo"  — oldest first (dispatch order; reference-shaped)
+    #   "ready" — collect whichever in-flight handle reports is_ready()
+    #             first, falling back to the oldest when none do. Each
+    #             blocking fetch pays one tunnel RTT; out-of-order
+    #             collection overlaps that RTT with still-computing
+    #             batches instead of serializing behind the oldest one.
+    # Result ORDER and BITS are identical either way (results scatter to
+    # their piece index); this is pure transport scheduling. Decided by
+    # within-process interleaved A/B at depth 18
+    # (scripts/drain_policy_probe.py) — see BENCHMARKS for the receipt.
+    drain_policy: str = "fifo"
 
     @property
     def max_chunk_samples(self) -> int:

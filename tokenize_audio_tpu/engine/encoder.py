@@ -118,6 +118,10 @@ class MimiEncoderEngine:
         fmt = self.engine_cfg.code_transfer_format
         if fmt not in ("padded", "packed", "compact"):
             raise ValueError(f"unknown code_transfer_format {fmt!r}")
+        if self.engine_cfg.drain_policy not in ("fifo", "ready"):
+            raise ValueError(
+                f"unknown drain_policy {self.engine_cfg.drain_policy!r}"
+            )
         if fmt != "padded" and self.num_codebooks % 2 != 0:
             if fmt == "compact":
                 # compact is always an explicit opt-in (the default is
@@ -531,11 +535,27 @@ class MimiEncoderEngine:
         results: List[Optional[np.ndarray]] = [None] * len(pieces)
         inflight: List[tuple] = []  # (handle, idxs, (bucket, budget_len))
 
+        drain_ready = self.engine_cfg.drain_policy == "ready"
+
         def drain_one():
             # a fault at collect time (the async dispatch's error
             # materializes at device_get) recovers by re-dispatching the
             # whole group and collecting that
-            handle, idxs, (bucket, budget_len) = inflight.pop(0)
+            pick = 0
+            if drain_ready and len(inflight) > 1:
+                # collect the first READY handle so this blocking fetch's
+                # tunnel RTT overlaps still-computing batches instead of
+                # serializing behind the oldest one; fall back to FIFO
+                # when none report ready (results scatter by piece index,
+                # so collection order never affects output order or bits)
+                for j, (h, _, _) in enumerate(inflight):
+                    try:
+                        if h[0].is_ready():
+                            pick = j
+                            break
+                    except AttributeError:  # non-jax arrays (test doubles)
+                        break
+            handle, idxs, (bucket, budget_len) = inflight.pop(pick)
             collected = self._retry_transient(
                 f"collecting a {len(idxs)}-row batch",
                 lambda: self._collect(handle),

@@ -409,3 +409,26 @@ def test_compare_mode_same_chunk_set(tmp_path):
     for k in ("host_decode", "host_serialize", "host_extract", "hub_upload"):
         assert k in d["pipeline_stage_seconds"], d["pipeline_stage_seconds"]
     json.dumps(res)
+
+
+@pytest.mark.slow  # heavy compile load; full suite / CI only
+def test_pipeline_bench_mp3_container(tmp_path):
+    """container="mp3" routes the whole path through real lame-encoded
+    mp3 payloads — the Emilia/Common Voice decode class
+    (emilia-mimi/process_shard.py:473-537); throughput-only (mp3 is
+    lossy), every sub-shard must still reach the hub."""
+    res = run_pipeline_bench(
+        subshards=1,
+        audios=2,
+        seconds=5.0,
+        container="mp3",
+        mimi_cfg=tiny_jax_config(),
+        engine_cfg=tiny_engine_cfg(),
+        work_root=str(tmp_path),
+    )
+    d = res["detail"]
+    assert d["container"] == "mp3"
+    assert d["chunks"] > 0 and res["value"] > 0
+    assert d["engine_stage_seconds"].get("host_decode", 0) > 0
+    uploaded = list((tmp_path / "hub_m" / "data" / "en000").glob("*.json"))
+    assert len(uploaded) == 1

@@ -243,7 +243,9 @@ def run_engine_bench(
 # full-pipeline bench
 
 
-def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
+def build_mirror(
+    root, shard, subshards, audios_per, seconds, sr=24_000, container="wav"
+):
     """Synthetic YODAS2-layout local mirror: per sub-shard a tar.gz of WAVs
     plus the chunk-id metadata JSON (centisecond spans, reference id scheme
     yodas2-mimi/process_shard.py:400-427).
@@ -252,7 +254,14 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
     tars hold ORIGINAL-rate WAVs (16/44.1/48 kHz web audio), and the
     reference pays a librosa resample to 24 kHz per file
     (yodas2-mimi/process_shard.py:188) — a source-rate mirror makes the
-    pipeline bench exercise the on-device resample stage the same way."""
+    pipeline bench exercise the on-device resample stage the same way.
+
+    ``container="mp3"`` writes real lame-encoded mp3 files instead — the
+    Emilia / Common Voice payload class (mp3-in-tar,
+    emilia-mimi/process_shard.py:473-537), whose host decode is ~20x more
+    expensive than WAV and therefore the case that stresses whether the
+    decode prefetch pool can keep the chip fed. mp3 is lossy, so an mp3
+    mirror measures throughput, never parity."""
     # the chunk loop below needs headroom past the minimum 1.5 s chunk:
     # at seconds <= 2 it emits ZERO chunks while total_audio still counts
     # the full files — the bench would "process" everything, encode
@@ -262,6 +271,10 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
     rng = np.random.default_rng(0)
     from tokenize_audio_tpu.io import write_wav
 
+    if container == "mp3":
+        from tokenize_audio_tpu.io.mp3enc import encode_mp3
+    elif container != "wav":
+        raise ValueError(f"container must be 'wav' or 'mp3', got {container!r}")
     rates = [sr] if isinstance(sr, int) else list(sr)
     total_audio = 0.0
     n_chunks = 0
@@ -280,7 +293,12 @@ def build_mirror(root, shard, subshards, audios_per, seconds, sr=24_000):
                 0.3 * np.sin(2 * np.pi * (120 + 40 * a) * t)
                 + 0.1 * rng.standard_normal(len(t))
             ).astype(np.float32)
-            write_wav(os.path.join(wav_dir, f"{audio_id}.wav"), x, sr)
+            if container == "mp3":
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+                with open(os.path.join(wav_dir, f"{audio_id}.mp3"), "wb") as fa:
+                    fa.write(encode_mp3(pcm, sample_rate=sr))
+            else:
+                write_wav(os.path.join(wav_dir, f"{audio_id}.wav"), x, sr)
             total_audio += seconds
             # ~3 s mean chunks in centiseconds, lognormal-ish lengths
             text = {}
@@ -308,6 +326,7 @@ def run_pipeline_bench(
     audios: int = 6,
     seconds: float = 90.0,
     source_rate=24_000,
+    container: str = "wav",
     mimi_cfg=None,
     engine_cfg=None,
     engine=None,
@@ -338,7 +357,8 @@ def run_pipeline_bench(
         mirror = os.path.join(tmp, "mirror")
         progress("build_mirror")
         total_audio, n_chunks = build_mirror(
-            mirror, "en000", subshards, audios, seconds, sr=source_rate
+            mirror, "en000", subshards, audios, seconds, sr=source_rate,
+            container=container,
         )
 
         if engine is None:
@@ -369,6 +389,7 @@ def run_pipeline_bench(
                 "source_rates": [source_rate]
                 if isinstance(source_rate, int)
                 else list(source_rate),
+                "container": container,
                 "transient_retries": engine.stats.transient_retries,
                 "engine_stage_seconds": {
                     k: round(v, 2) for k, v in engine.stats.stage_seconds.items()
@@ -391,6 +412,7 @@ def run_compare(
     audios: int = 6,
     seconds: float = 90.0,
     source_rate=24_000,
+    container: str = "wav",
     passes: int = 3,
     mimi_cfg=None,
     engine_cfg=None,
@@ -425,7 +447,8 @@ def run_compare(
         mirror = os.path.join(tmp, "mirror")
         progress("build_mirror")
         total_audio, n_chunks = build_mirror(
-            mirror, "en000", subshards, audios, seconds, sr=source_rate
+            mirror, "en000", subshards, audios, seconds, sr=source_rate,
+            container=container,
         )
         engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
 
@@ -517,6 +540,7 @@ def run_soak(
     audios: int = 6,
     seconds: float = 90.0,
     source_rate=24_000,
+    container: str = "wav",
     mimi_cfg=None,
     engine_cfg=None,
     work_root: Optional[str] = None,
@@ -545,7 +569,8 @@ def run_soak(
         mirror = os.path.join(tmp, "mirror")
         progress("build_mirror")
         total_audio, n_chunks = build_mirror(
-            mirror, "en000", subshards, audios, seconds, sr=source_rate
+            mirror, "en000", subshards, audios, seconds, sr=source_rate,
+            container=container,
         )
 
         engine = _build_pipeline_engine(mimi_cfg, engine_cfg, progress)
@@ -640,6 +665,7 @@ def run_soak(
                 "source_rates": [source_rate]
                 if isinstance(source_rate, int)
                 else list(source_rate),
+                "container": container,
                 "iterations": len(iters),
                 "audio_hours_processed": round(len(iters) * total_audio / 3600, 2),
                 "chunks_per_iter": n_chunks,
@@ -731,6 +757,14 @@ def main(argv=None) -> int:
         "(e.g. 16000,48000 — real YODAS2 tars are original-rate web audio, "
         "so non-24 kHz adds the per-file on-device resample to the path)",
     )
+    ap.add_argument(
+        "--container",
+        default="wav",
+        choices=["wav", "mp3"],
+        help="pipeline/soak/compare: mirror payload container — mp3 is the "
+        "Emilia/Common Voice class (lame-encoded; ~20x costlier host decode "
+        "than WAV, the case that stresses the decode prefetch pool)",
+    )
     ap.add_argument("--utterances", type=int, default=256, help="engine: workload size")
     ap.add_argument("--passes", type=int, default=5, help="engine: measured passes")
     ap.add_argument(
@@ -756,6 +790,7 @@ def main(argv=None) -> int:
             audios=args.audios,
             seconds=args.seconds,
             source_rate=source_rate,
+            container=args.container,
             progress=progress,
         )
     elif args.compare:
@@ -764,6 +799,7 @@ def main(argv=None) -> int:
             audios=args.audios,
             seconds=args.seconds,
             source_rate=source_rate,
+            container=args.container,
             passes=args.passes,
             progress=progress,
         )
@@ -773,6 +809,7 @@ def main(argv=None) -> int:
             audios=args.audios,
             seconds=args.seconds,
             source_rate=source_rate,
+            container=args.container,
             progress=progress,
         )
     else:

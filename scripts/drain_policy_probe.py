@@ -1,4 +1,4 @@
-"""Within-process A/B probe: drain_policy fifo vs ready at depth 18.
+"""Within-process A/B probe: drain_policy fifo/ready/threaded at depth 18.
 
 Fetch was 84% of BENCH_r04's wall and the engine drained in-flight handles
 strictly FIFO, blocking one tunnel RTT per handle (VERDICT r4 #3). The
@@ -48,6 +48,12 @@ def main():
             params,
             cfg,
             dataclasses.replace(base, drain_policy="ready"),
+            pipeline_depth=18,
+        ),
+        "threaded": MimiEncoderEngine(
+            params,
+            cfg,
+            dataclasses.replace(base, drain_policy="threaded"),
             pipeline_depth=18,
         ),
     }

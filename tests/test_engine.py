@@ -826,27 +826,31 @@ def test_engine_autotune_single_candidate_skips_probe(tiny_oracle, monkeypatch):
 
 def test_drain_policy_ready_bit_equal(tiny_oracle, rng):
     """drain_policy="ready" collects in-flight batches out of dispatch
-    order (whichever device handle is ready first) — pure transport
-    scheduling: output order and bits must match FIFO exactly, across
-    multiple buckets and tail groups kept in flight at depth 4."""
+    order (whichever device handle is ready first) and "threaded" fetches
+    concurrently from a pool — pure transport scheduling either way:
+    output order and bits must match FIFO exactly, across multiple
+    buckets and tail groups kept in flight at depth 4."""
     _, params, cfg = tiny_oracle
     ecfg = EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=4.0)
     lengths = [1000, 5000, 19200, 26000, 7777, 1920, 600, 95000, 3333, 40000]
     audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths]
     fifo = MimiEncoderEngine(params, cfg, ecfg, pipeline_depth=4)
-    ready = MimiEncoderEngine(
-        params,
-        cfg,
-        dataclasses.replace(ecfg, drain_policy="ready"),
-        pipeline_depth=4,
-    )
     got_f = fifo.encode_batch(audios)
-    got_r = ready.encode_batch(audios)
-    assert len(got_f) == len(got_r) == len(audios)
-    for a, b in zip(got_f, got_r):
-        assert a.shape == b.shape and (a == b).all()
-    # stats account the same frames either way
-    assert fifo.stats.frames == ready.stats.frames
+    for policy in ("ready", "threaded"):
+        other = MimiEncoderEngine(
+            params,
+            cfg,
+            dataclasses.replace(ecfg, drain_policy=policy, fetch_threads=3),
+            pipeline_depth=4,
+        )
+        got_o = other.encode_batch(audios)
+        assert len(got_f) == len(got_o) == len(audios)
+        for a, b in zip(got_f, got_o):
+            assert a.shape == b.shape and (a == b).all()
+        # stats account the same frames in every policy (the threaded
+        # drain updates counters from pool workers under the stats lock)
+        assert fifo.stats.frames == other.stats.frames
+        assert fifo.stats.padded_frames == other.stats.padded_frames
 
 
 def test_drain_policy_validated():
@@ -858,3 +862,32 @@ def test_drain_policy_validated():
         MimiEncoderEngine(
             random_params(cfg, seed=0), cfg, EngineConfig(drain_policy="lifo")
         )
+
+
+def test_encode_batch_defer_bit_equal(tiny_oracle, rng):
+    """defer=True returns a finish() closure whose results are
+    bit-identical to the eager path — including split long audio and the
+    streaming policy — and collection may run from another thread (the
+    yodas2 write-behind collector does exactly that)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=2, min_bucket_seconds=0.25, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg, pipeline_depth=3)
+    lengths = [1000, 5000, 19200, 26000, 7777, 120000, 3333]
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in lengths]
+    eager = eng.encode_batch(audios)
+    finish = eng.encode_batch(audios, defer=True)
+    assert callable(finish)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        deferred = pool.submit(finish).result()
+    assert len(eager) == len(deferred)
+    for a, b in zip(eager, deferred):
+        assert a.shape == b.shape and (a == b).all()
+    # two deferred calls may be in flight before either finishes: dispatch
+    # of call 2 must not disturb call 1's pending collection
+    f1 = eng.encode_batch(audios[:3], defer=True)
+    f2 = eng.encode_batch(audios[3:], defer=True)
+    got = f1() + f2()
+    for a, b in zip(eager, got):
+        assert (a == b).all()

@@ -82,11 +82,12 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--drain-policy",
         default=None,
-        choices=["fifo", "ready"],
+        choices=["fifo", "ready", "threaded"],
         help="in-flight batch collection order (default EngineConfig "
         "default): fifo = dispatch order; ready = collect whichever "
-        "handle is ready first, overlapping per-fetch RTTs with compute. "
-        "Bit- and order-identical either way (pure transport scheduling)",
+        "handle is ready first; threaded = a small fetch pool overlaps "
+        "the blocking per-batch RTTs themselves. Bit- and order-identical "
+        "in every mode (pure transport scheduling)",
     )
     ap.add_argument(
         "--autotune-seconds",

@@ -133,17 +133,24 @@ class EngineConfig:
     # auto) runs that probe at provisioning time and keeps the winner.
     code_transfer_format: str = "packed"
     # device->host collection order for in-flight batches:
-    #   "fifo"  — oldest first (dispatch order; reference-shaped)
-    #   "ready" — collect whichever in-flight handle reports is_ready()
-    #             first, falling back to the oldest when none do. Each
-    #             blocking fetch pays one tunnel RTT; out-of-order
-    #             collection overlaps that RTT with still-computing
-    #             batches instead of serializing behind the oldest one.
-    # Result ORDER and BITS are identical either way (results scatter to
-    # their piece index); this is pure transport scheduling. Decided by
+    #   "fifo"     — oldest first (dispatch order; reference-shaped)
+    #   "ready"    — collect whichever in-flight handle reports is_ready()
+    #                first, falling back to the oldest when none do.
+    #   "threaded" — hand each in-flight handle to a small fetch pool the
+    #                moment it is dispatched; the main loop then waits on
+    #                futures. Each blocking fetch pays one tunnel RTT —
+    #                FIFO serializes those RTTs, "ready" only reorders
+    #                them, the pool overlaps them. Single-process only
+    #                (a mesh multiprocess engine keeps FIFO — collection
+    #                must not interleave with collective dispatch).
+    # Result ORDER and BITS are identical in every mode (results scatter
+    # to their piece index); this is pure transport scheduling. Decided by
     # within-process interleaved A/B at depth 18
     # (scripts/drain_policy_probe.py) — see BENCHMARKS for the receipt.
     drain_policy: str = "fifo"
+    # fetch pool width for drain_policy="threaded" (concurrent blocking
+    # device_gets; each holds one batch's host buffer while it drains)
+    fetch_threads: int = 4
 
     @property
     def max_chunk_samples(self) -> int:

@@ -24,6 +24,7 @@ import json
 import logging
 import os
 import shutil
+import subprocess
 import tarfile
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Protocol, Tuple
@@ -272,8 +273,21 @@ class SubShardProcessor:
         # encode: seconds are summed THREAD time (can overlap / exceed
         # wall), the signal for which host stage dominates a pipeline run
         with self.engine.stats.stage("host_extract"):
-            with tarfile.open(tar_path, "r:*") as tf:
-                tf.extractall(extract_dir, filter="data")
+            try:
+                # system tar: a separate PROCESS, so gzip+unpack cost zero
+                # GIL time while the main thread keeps the chip fed (the
+                # dominant host stage of the r5 compare receipt). GNU tar
+                # refuses '..'/absolute members with a failure status —
+                # same safety class as tarfile's filter="data" below,
+                # which stays as the no-tar-binary fallback.
+                subprocess.run(
+                    ["tar", "-xf", tar_path, "-C", extract_dir],
+                    check=True,
+                    capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                with tarfile.open(tar_path, "r:*") as tf:
+                    tf.extractall(extract_dir, filter="data")
         open(marker, "w").close()
 
     def _find_audio(self, extract_dir: str, audio_id: str) -> Optional[str]:
@@ -305,15 +319,22 @@ class SubShardProcessor:
             logger.exception("Failed to load audio for %s", entry["audio_id"])
             return None
 
-    def process_entries(self, batch: List[Tuple[Dict, Optional[np.ndarray]]]) -> List[Dict]:
-        """Encode a group of entries' chunks in ONE engine call.
+    def process_entries_deferred(self, batch: List[Tuple[Dict, Optional[np.ndarray]]]):
+        """Slice + DISPATCH a group of entries' chunks in one deferred
+        engine call; returns a zero-arg ``complete()`` that drains the
+        in-flight batches and hands back the finished entry dicts.
 
         Per-call dispatch overhead dominates on network-attached chips
         (~200 ms/call through the tunnel), so chunks from ``save_every``
         entries batch together — the cross-file accumulate-to-batch role
         of the reference's loop (emilia-mimi/process_shard.py:473-537),
-        here at the sub-shard level. Entries whose audio failed to load
-        are returned without a ``codes`` key (retried on restart)."""
+        here at the sub-shard level. The dispatch/collect split matters as
+        much as the batching: collecting in the write-behind thread keeps
+        the device dispatch stream continuous across groups instead of
+        paying a full pipeline-drain barrier per group (the dominant term
+        of the pipeline-vs-engine gap, BENCHMARKS r5). Entries whose audio
+        failed to load are returned without a ``codes`` key (retried on
+        restart)."""
         results: List[Dict] = []
         owners: List[Tuple[int, str]] = []
         segments: List[np.ndarray] = []
@@ -332,21 +353,32 @@ class SubShardProcessor:
             for cid, s in zip(ids, segs):
                 owners.append((len(results) - 1, cid))
                 segments.append(s)
-        if segments:
-            codes_list = self.engine.encode_batch(
-                segments, sr=self.sample_rate
-            )  # >cap chunks split+concat inside
-            for (ri, cid), codes in zip(owners, codes_list):
-                # kept as uint16 ndarrays here; the JSON int-list conversion
-                # (tolist ~1 s per million codes) happens in the write-behind
-                # serializer thread, off the encode critical path
+        finish = (
+            self.engine.encode_batch(segments, sr=self.sample_rate, defer=True)
+            if segments
+            else (lambda: [])
+        )  # >cap chunks split+concat inside
+
+        def complete() -> List[Dict]:
+            for (ri, cid), codes in zip(owners, finish()):
+                # kept as uint16 ndarrays here; the JSON int-list
+                # conversion happens in the write-behind serializer
+                # thread, off the encode critical path
                 results[ri]["codes"][cid] = codes.astype(np.uint16)
-        for e in results:
-            if "codes" in e and not e["codes"]:
-                logger.warning(
-                    "Audio %s has 0 valid chunks after filtering", e["audio_id"]
-                )
-        return results
+            for e in results:
+                if "codes" in e and not e["codes"]:
+                    logger.warning(
+                        "Audio %s has 0 valid chunks after filtering",
+                        e["audio_id"],
+                    )
+            return results
+
+        return complete
+
+    def process_entries(self, batch: List[Tuple[Dict, Optional[np.ndarray]]]) -> List[Dict]:
+        """Eager form of :meth:`process_entries_deferred` (dispatch and
+        collect in the calling thread)."""
+        return self.process_entries_deferred(batch)()
 
     def process(
         self, tar_path: str, text_json_path: str, output_path: str
@@ -395,14 +427,21 @@ class SubShardProcessor:
         # 24 kHz audio ≈ 110 MB buffered worst case
         max_buf_samples = 20 * 60 * self.sample_rate
 
-        # write-behind serializer: tolist + json.dumps of code arrays cost
-        # ~1-2 s per million codes — a single writer thread does both and
-        # the fsync'd append while the main thread keeps the device fed.
-        # One thread => appends stay ordered; errors surface at join.
+        # write-behind collector + serializer: ONE writer thread drains
+        # each group's in-flight device batches (a pipeline-depth's worth
+        # of blocking RTT fetches), converts codes to JSON, and does the
+        # fsync'd append — while the main thread decodes, slices, and
+        # DISPATCHES the next group. The device dispatch stream stays
+        # continuous across groups instead of paying a drain barrier per
+        # group. One thread => appends stay ordered; errors surface at
+        # join (whole-sub-shard retry, same isolation as before).
         writer = ThreadPoolExecutor(max_workers=1)
         write_futures: List = []
 
-        def write_group(group: List[Dict]) -> None:
+        def collect_and_write(complete) -> None:
+            group = complete()  # drain this group's in-flight batches
+            for r in group:
+                results_by_id[r["audio_id"]] = r
             with self.engine.stats.stage("host_serialize"):
                 lines = []
                 for r in group:
@@ -413,12 +452,15 @@ class SubShardProcessor:
 
         def flush_group():
             nonlocal buf_samples
-            group = self.process_entries(buf)
-            for r in group:
-                results_by_id[r["audio_id"]] = r
+            # back-pressure: each queued group pins its undrained tail
+            # batches on device, so bound the queue before dispatching more
+            pending = [f for f in write_futures if not f.done()]
+            if len(pending) >= 3:
+                pending[0].result()
+            complete = self.process_entries_deferred(buf)  # dispatches now
             buf.clear()
             buf_samples = 0
-            write_futures.append(writer.submit(write_group, group))
+            write_futures.append(writer.submit(collect_and_write, complete))
 
         try:
             for entry, audio24 in loaded:

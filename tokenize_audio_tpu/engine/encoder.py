@@ -118,10 +118,11 @@ class MimiEncoderEngine:
         fmt = self.engine_cfg.code_transfer_format
         if fmt not in ("padded", "packed", "compact"):
             raise ValueError(f"unknown code_transfer_format {fmt!r}")
-        if self.engine_cfg.drain_policy not in ("fifo", "ready"):
+        if self.engine_cfg.drain_policy not in ("fifo", "ready", "threaded"):
             raise ValueError(
                 f"unknown drain_policy {self.engine_cfg.drain_policy!r}"
             )
+        self._fetch_pool = None  # lazily built for drain_policy="threaded"
         if fmt != "padded" and self.num_codebooks % 2 != 0:
             if fmt == "compact":
                 # compact is always an explicit opt-in (the default is
@@ -350,7 +351,8 @@ class MimiEncoderEngine:
             if self._multiprocess:
                 raise
             logger.warning("transient device fault %s; retrying once: %s", what, e)
-            self.stats.transient_retries += 1
+            with self.stats._lock:  # threaded drain retries concurrently
+                self.stats.transient_retries += 1
             return (recover or attempt)()
 
     def _collect(self, handle) -> List[np.ndarray]:
@@ -360,34 +362,40 @@ class MimiEncoderEngine:
         dtype = np.dtype(self.engine_cfg.code_transfer_dtype)
         with self.stats.stage("fetch"):
             codes = np.asarray(jax.device_get(codes_d))
-        self.stats.padded_frames += bucket_frames
+        # frame counters update under the stats lock at the end — the
+        # threaded drain runs _collect concurrently from pool workers, and
+        # unlocked += would lose updates
         out = []
+        n_frames = 0
         if fmt == "padded":
             for i in range(n_real):
                 f = int(frames[i])
                 # copy: a trimmed VIEW would pin the whole (B, K, T_bucket)
                 # batch buffer for as long as a caller keeps one row's codes
                 out.append(codes[i, :, :f].copy())
-                self.stats.frames += f
-            return out
-        # packed modes: int32 words -> exact uint16 code stream via a
-        # zero-copy little-endian view (this is why pairs pack low|high<<16)
-        u16 = np.ascontiguousarray(codes).view("<u2")
-        if fmt == "packed":
+                n_frames += f
+        elif fmt == "packed":
+            # packed modes: int32 words -> exact uint16 code stream via a
+            # zero-copy little-endian view (pairs pack low|high<<16)
+            u16 = np.ascontiguousarray(codes).view("<u2")
             u16 = u16.reshape(codes.shape[0], codes.shape[1], -1)  # (B, T, K)
             for i in range(n_real):
                 f = int(frames[i])
                 out.append(u16[i, :f].T.astype(dtype))
-                self.stats.frames += f
-            return out
-        # compact: prefix rows are valid frames in row order
-        u16 = u16.reshape(codes.shape[0], -1)  # (rows, K)
-        off = 0
-        for i in range(n_real):
-            f = int(frames[i])
-            out.append(u16[off : off + f].T.astype(dtype))
-            self.stats.frames += f
-            off += f
+                n_frames += f
+        else:
+            # compact: prefix rows are valid frames in row order
+            u16 = np.ascontiguousarray(codes).view("<u2")
+            u16 = u16.reshape(codes.shape[0], -1)  # (rows, K)
+            off = 0
+            for i in range(n_real):
+                f = int(frames[i])
+                out.append(u16[off : off + f].T.astype(dtype))
+                n_frames += f
+                off += f
+        with self.stats._lock:
+            self.stats.frames += n_frames
+            self.stats.padded_frames += bucket_frames
         return out
 
     def _prepare_mono(self, audio: np.ndarray) -> np.ndarray:
@@ -441,13 +449,24 @@ class MimiEncoderEngine:
     # -- public API --------------------------------------------------------
 
     def encode_batch(
-        self, audios: Sequence[np.ndarray], sr: int = 24_000
-    ) -> List[np.ndarray]:
+        self, audios: Sequence[np.ndarray], sr: int = 24_000, defer: bool = False
+    ):
         """Encode utterances; returns per-utterance (num_codebooks, frames)
         integer arrays (EngineConfig.code_transfer_dtype, default int32) in
         input order. Audio longer than the 60 s cap is split and
         re-concatenated on the code time axis (or streamed exactly with
-        long_audio_policy="stream")."""
+        long_audio_policy="stream").
+
+        ``defer=True`` returns a zero-arg ``finish()`` closure instead of
+        the result list: every batch is already DISPATCHED (depth-bounded),
+        but the tail drain — up to pipeline_depth blocking fetches, each a
+        tunnel RTT — plus long-audio streaming and reassembly run only when
+        ``finish()`` is called, from any single thread. A caller that
+        collects in a worker thread keeps the device dispatch stream
+        continuous across calls instead of paying a drain barrier per call
+        (the pipeline-vs-engine gap's dominant term, BENCHMARKS r5).
+        Call each finish() exactly once; results are bit-identical to the
+        eager path."""
         if self._pending_autotune is not None:
             # deferred real-workload autotune (request_autotune): probe on
             # THIS call's utterances, then fall through and encode them
@@ -535,34 +554,53 @@ class MimiEncoderEngine:
         results: List[Optional[np.ndarray]] = [None] * len(pieces)
         inflight: List[tuple] = []  # (handle, idxs, (bucket, budget_len))
 
-        drain_ready = self.engine_cfg.drain_policy == "ready"
+        # multiprocess SPMD keeps FIFO: collection must not interleave
+        # with the deterministic collective dispatch schedule
+        policy = "fifo" if self._multiprocess else self.engine_cfg.drain_policy
+        if policy == "threaded" and self._fetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        def drain_one():
+            self._fetch_pool = ThreadPoolExecutor(
+                max_workers=max(1, self.engine_cfg.fetch_threads),
+                thread_name_prefix="ta-fetch",
+            )
+
+        def _collect_with_retry(handle, idxs, bucket, budget_len):
             # a fault at collect time (the async dispatch's error
             # materializes at device_get) recovers by re-dispatching the
             # whole group and collecting that
-            pick = 0
-            if drain_ready and len(inflight) > 1:
-                # collect the first READY handle so this blocking fetch's
-                # tunnel RTT overlaps still-computing batches instead of
-                # serializing behind the oldest one; fall back to FIFO
-                # when none report ready (results scatter by piece index,
-                # so collection order never affects output order or bits)
-                for j, (h, _, _) in enumerate(inflight):
-                    try:
-                        if h[0].is_ready():
-                            pick = j
-                            break
-                    except AttributeError:  # non-jax arrays (test doubles)
-                        break
-            handle, idxs, (bucket, budget_len) = inflight.pop(pick)
-            collected = self._retry_transient(
+            return self._retry_transient(
                 f"collecting a {len(idxs)}-row batch",
                 lambda: self._collect(handle),
                 recover=lambda: self._collect(
                     self._dispatch([pieces[g] for g in idxs], bucket, resample_arg, budget_len)
                 ),
             )
+
+        def drain_one():
+            if policy == "threaded":
+                # the pool already started this fetch at dispatch time;
+                # RTTs of up to fetch_threads batches overlap in flight
+                fut, idxs = inflight.pop(0)
+                collected = fut.result()
+            else:
+                pick = 0
+                if policy == "ready" and len(inflight) > 1:
+                    # collect the first READY handle so this blocking
+                    # fetch's tunnel RTT overlaps still-computing batches
+                    # instead of serializing behind the oldest one; fall
+                    # back to FIFO when none report ready (results scatter
+                    # by piece index, so collection order never affects
+                    # output order or bits)
+                    for j, (h, _, _) in enumerate(inflight):
+                        try:
+                            if h[0].is_ready():
+                                pick = j
+                                break
+                        except AttributeError:  # non-jax arrays (test doubles)
+                            break
+                handle, idxs, (bucket, budget_len) = inflight.pop(pick)
+                collected = _collect_with_retry(handle, idxs, bucket, budget_len)
             for g, c in zip(idxs, collected):
                 results[g] = c
 
@@ -576,50 +614,67 @@ class MimiEncoderEngine:
                     [pieces[g] for g in idxs], bucket, resample_arg, budget_len
                 ),
             )
-            inflight.append((handle, idxs, (bucket, budget_len)))
+            if policy == "threaded":
+                inflight.append(
+                    (
+                        self._fetch_pool.submit(
+                            _collect_with_retry, handle, idxs, bucket, budget_len
+                        ),
+                        idxs,
+                    )
+                )
+            else:
+                inflight.append((handle, idxs, (bucket, budget_len)))
             if len(inflight) >= self.pipeline_depth:
                 drain_one()
-        while inflight:
-            drain_one()
 
-        # long-audio streaming, MULTIPLEXED: up to stream_batch >cap
-        # utterances share one carried-state encoder (per-row ends — a
-        # YODAS2 shard of K full videos streams in ~1/K the step
-        # dispatches; VERDICT r2 weak #5), bit-identical to the serial path
-        for s in range(0, len(stream_jobs), self.engine_cfg.stream_batch):
-            grp = stream_jobs[s : s + self.engine_cfg.stream_batch]
-            enc = self._stream_encoder_for(len(grp))
-            with self.stats.stage("stream"):
-                # retry is exact here because encode_streams resets carried
-                # state at entry — the whole group re-streams from scratch
-                codes_list = self._retry_transient(
-                    f"streaming a {len(grp)}-stream group",
-                    lambda: enc.encode_streams([a for _, a in grp]),
-                )
-            for (i, _), c in zip(grp, codes_list):
-                self.stats.frames += c.shape[1]
-                # streamed frames carry no bucket padding; count them on
-                # both sides so bucket_efficiency keeps measuring bucketed
-                # waste only
-                self.stats.padded_frames += c.shape[1]
-                # match the bucketed path's configured transfer dtype
-                streamed[i] = c.astype(
-                    np.dtype(self.engine_cfg.code_transfer_dtype)
-                )
+        def finish() -> List[np.ndarray]:
+            while inflight:
+                drain_one()
 
-        # reassemble per-utterance codes (concat split pieces on time axis,
-        # dropping overlap-context frames when configured)
-        out: List[List[np.ndarray]] = [[] for _ in prepared]
-        for p_idx, owner in enumerate(piece_of):
-            c = results[p_idx]
-            drop = piece_drop[p_idx]
-            out[owner].append(c[:, drop:] if drop else c)
-        return [
-            streamed[i]
-            if i in streamed
-            else (parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1))
-            for i, parts in enumerate(out)
-        ]
+            # long-audio streaming, MULTIPLEXED: up to stream_batch >cap
+            # utterances share one carried-state encoder (per-row ends — a
+            # YODAS2 shard of K full videos streams in ~1/K the step
+            # dispatches; VERDICT r2 weak #5), bit-identical to the serial
+            # path
+            for s in range(0, len(stream_jobs), self.engine_cfg.stream_batch):
+                grp = stream_jobs[s : s + self.engine_cfg.stream_batch]
+                enc = self._stream_encoder_for(len(grp))
+                with self.stats.stage("stream"):
+                    # retry is exact here because encode_streams resets
+                    # carried state at entry — the whole group re-streams
+                    # from scratch
+                    codes_list = self._retry_transient(
+                        f"streaming a {len(grp)}-stream group",
+                        lambda: enc.encode_streams([a for _, a in grp]),
+                    )
+                for (i, _), c in zip(grp, codes_list):
+                    with self.stats._lock:
+                        self.stats.frames += c.shape[1]
+                        # streamed frames carry no bucket padding; count
+                        # them on both sides so bucket_efficiency keeps
+                        # measuring bucketed waste only
+                        self.stats.padded_frames += c.shape[1]
+                    # match the bucketed path's configured transfer dtype
+                    streamed[i] = c.astype(
+                        np.dtype(self.engine_cfg.code_transfer_dtype)
+                    )
+
+            # reassemble per-utterance codes (concat split pieces on time
+            # axis, dropping overlap-context frames when configured)
+            out: List[List[np.ndarray]] = [[] for _ in prepared]
+            for p_idx, owner in enumerate(piece_of):
+                c = results[p_idx]
+                drop = piece_drop[p_idx]
+                out[owner].append(c[:, drop:] if drop else c)
+            return [
+                streamed[i]
+                if i in streamed
+                else (parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1))
+                for i, parts in enumerate(out)
+            ]
+
+        return finish if defer else finish()
 
     def _stream_encoder_for(self, n_streams: int):
         """Carried-state streaming encoder sized to the next power of two

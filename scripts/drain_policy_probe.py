@@ -10,10 +10,13 @@ round (order re-randomized), medians decide; bit-equality asserted first.
     python scripts/drain_policy_probe.py [rounds]
 """
 
+import os
 import statistics
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

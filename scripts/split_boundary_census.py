@@ -24,8 +24,12 @@ its boundary. Usage:
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def census(engine, src_rate: int, seconds: float, seed: int) -> dict:

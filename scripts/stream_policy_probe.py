@@ -18,9 +18,13 @@ Prints one JSON line.
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

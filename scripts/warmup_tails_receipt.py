@@ -13,7 +13,11 @@ both the cold path (first machine: remote compiles) and the banked path
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -749,6 +749,27 @@ def test_engine_autotune_pipeline_depth(tiny_oracle, rng):
         eng.autotune_pipeline_depth(depths=(0,), seconds=0.5, rounds=1)
 
 
+def test_engine_autotune_drain_policy(tiny_oracle, rng):
+    """autotune_drain_policy picks a policy from the candidate set, keeps
+    codes bit-equal, records per-policy medians, and rejects junk names
+    (the ranking is fabric-state-dependent — r5 probe receipt — so only
+    the mechanics are assertable)."""
+    model, params, cfg = tiny_oracle
+    ecfg = EngineConfig(batch_size=2, min_bucket_seconds=0.5, max_chunk_seconds=4.0)
+    eng = MimiEncoderEngine(params, cfg, ecfg)
+    audios = [(rng.standard_normal(n) * 0.3).astype(np.float32) for n in (5000, 19200, 40000)]
+    ref = eng.encode_batch(audios)
+    best = eng.autotune_drain_policy(seconds=2.0, rounds=1)
+    assert best in ("fifo", "ready", "threaded")
+    assert eng.engine_cfg.drain_policy == best
+    assert set(eng.last_autotune_drain) == {"fifo", "ready", "threaded"}
+    got = eng.encode_batch(audios)
+    for r, g in zip(ref, got):
+        assert (g == r).all()
+    with pytest.raises(ValueError, match="drain"):
+        eng.autotune_drain_policy(policies=("fifo", "bogus"), seconds=0.5, rounds=1)
+
+
 def test_engine_request_autotune_defers_to_first_batch(tiny_oracle, rng):
     """request_autotune probes on the FIRST encode_batch call's own
     utterances, then encodes that batch with the chosen config — results

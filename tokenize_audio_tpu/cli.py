@@ -82,12 +82,15 @@ def add_engine_args(ap: argparse.ArgumentParser, batch_size: int = 16) -> None:
     ap.add_argument(
         "--drain-policy",
         default=None,
-        choices=["fifo", "ready", "threaded"],
+        choices=["fifo", "ready", "threaded", "auto"],
         help="in-flight batch collection order (default EngineConfig "
         "default): fifo = dispatch order; ready = collect whichever "
         "handle is ready first; threaded = a small fetch pool overlaps "
         "the blocking per-batch RTTs themselves. Bit- and order-identical "
-        "in every mode (pure transport scheduling)",
+        "in every mode (pure transport scheduling). 'auto' runs the "
+        "interleaved provisioning probe — the ranking is fabric-state-"
+        "dependent (r5 receipt: ready/threaded +21/+55%% in one "
+        "fetch-bound window, fifo ahead in another)",
     )
     ap.add_argument(
         "--autotune-seconds",
@@ -157,8 +160,9 @@ def engine_from_args(
     fmt_arg = getattr(args, "code_transfer_format", None)
     if fmt_arg is not None and fmt_arg not in ("auto", "auto-data"):
         engine_overrides.setdefault("code_transfer_format", fmt_arg)
-    if getattr(args, "drain_policy", None) is not None:
-        engine_overrides.setdefault("drain_policy", args.drain_policy)
+    drain_arg = getattr(args, "drain_policy", None)
+    if drain_arg is not None and drain_arg != "auto":
+        engine_overrides.setdefault("drain_policy", drain_arg)
     depth_arg = getattr(args, "pipeline_depth", None)
     depth_kw = {}
     if depth_arg is not None and depth_arg not in ("auto", "auto-data"):
@@ -205,12 +209,14 @@ def engine_from_args(
         # format never contaminate probe timings as cold compiles
         run_warmup()
     probe_s = getattr(args, "autotune_seconds", 40.0)
-    if fmt_arg == "auto" or depth_arg == "auto":
+    if fmt_arg == "auto" or depth_arg == "auto" or drain_arg == "auto":
         fmt_before = engine.engine_cfg.code_transfer_format
         if fmt_arg == "auto":
             engine.autotune_transfer(seconds=probe_s)
         if depth_arg == "auto":
             engine.autotune_pipeline_depth(seconds=probe_s)
+        if drain_arg == "auto":
+            engine.autotune_drain_policy(seconds=probe_s)
         if warmup and engine.engine_cfg.code_transfer_format != fmt_before:
             # the probe only warmed the chosen format's shapes for ITS
             # durations; re-warm the full lattices so the first real

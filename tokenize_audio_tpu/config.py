@@ -144,9 +144,13 @@ class EngineConfig:
     #                (a mesh multiprocess engine keeps FIFO — collection
     #                must not interleave with collective dispatch).
     # Result ORDER and BITS are identical in every mode (results scatter
-    # to their piece index); this is pure transport scheduling. Decided by
-    # within-process interleaved A/B at depth 18
-    # (scripts/drain_policy_probe.py) — see BENCHMARKS for the receipt.
+    # to their piece index); this is pure transport scheduling. The r5
+    # interleaved A/B at depth 18 (scripts/drain_policy_probe.py, 12
+    # rounds across two fabric windows) found the ranking FLIPS with
+    # fabric state: ready/threaded won a fetch-RTT-bound window by
+    # +21/+55% median, fifo led a calmer window — so the default stays
+    # fifo (simplest, SPMD-legal) and the knob is a provisioning probe:
+    # MimiEncoderEngine.autotune_drain_policy() / CLI --drain-policy auto.
     drain_policy: str = "fifo"
     # fetch pool width for drain_policy="threaded" (concurrent blocking
     # device_gets; each holds one batch's host buffer while it drains)

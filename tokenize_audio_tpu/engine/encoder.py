@@ -105,6 +105,7 @@ class MimiEncoderEngine:
         self.pipeline_depth = pipeline_depth
         self.last_autotune: dict = {}  # per-format median probe seconds
         self.last_autotune_depth: dict = {}  # per-depth median probe seconds
+        self.last_autotune_drain: dict = {}  # per-policy median probe seconds
         self._pending_autotune: Optional[dict] = None
         self.cfg = cfg or MimiConfig()
         self.engine_cfg = engine_cfg or EngineConfig()
@@ -914,6 +915,61 @@ class MimiEncoderEngine:
             "autotune_pipeline_depth picked %d (medians: %s)",
             best,
             {d: f"{m:.3f}s" for d, m in medians.items()},
+        )
+        return best
+
+    def autotune_drain_policy(
+        self,
+        policies: Sequence[str] = ("fifo", "ready", "threaded"),
+        seconds: float = 40.0,
+        rounds: int = 3,
+        seed: int = 0,
+        samples: Optional[Sequence[np.ndarray]] = None,
+        sr: Optional[int] = None,
+    ) -> str:
+        """Pick the fastest ``drain_policy`` for THIS fabric by the same
+        interleaved A/B as :meth:`autotune_transfer`, then switch to it.
+
+        The policy's sign flips with fabric state (r5 receipt,
+        scripts/drain_policy_probe.py: in one fetch-RTT-bound window
+        ready/threaded beat FIFO 512x/656x vs 422x median; a later window
+        on the same host measured fifo 521x > threaded 467x > ready 442x
+        — 12 interleaved rounds total, winners split 3/4/5). A knob whose
+        ranking is a property of the fabric, not the code, belongs to the
+        provisioning probe (CLI ``--drain-policy auto``), exactly like
+        packed-vs-padded. Bits and result order are identical in every
+        mode, so the probe is pure transport scheduling."""
+        if self._multiprocess:
+            raise RuntimeError(
+                "autotune_drain_policy: SPMD multiprocess engines always "
+                "drain FIFO (collection must not interleave with the "
+                "collective dispatch schedule)"
+            )
+        policies = [str(p) for p in policies]
+        allowed = {"fifo", "ready", "threaded"}
+        if not set(policies) <= allowed:
+            raise ValueError(f"unknown drain policies: {set(policies) - allowed}")
+        utts, sr = self._probe_workload(seconds, seed, samples, sr)
+        saved_stats, saved_cfg = self.stats, self.engine_cfg
+        self.stats = EngineStats()
+
+        def set_policy(p: str) -> None:
+            self.engine_cfg = dataclasses.replace(self.engine_cfg, drain_policy=p)
+
+        try:
+            medians = self._interleaved_ab(policies, set_policy, utts, sr, rounds)
+        except Exception:
+            self.engine_cfg = saved_cfg
+            raise
+        finally:
+            self.stats = saved_stats
+        self.last_autotune_drain = medians
+        best = min(policies, key=lambda p: medians[p])
+        set_policy(best)
+        logger.info(
+            "autotune_drain_policy picked %r (medians: %s)",
+            best,
+            {p: f"{m:.3f}s" for p, m in medians.items()},
         )
         return best
 

@@ -216,7 +216,7 @@ def test_fetch_ahead_actually_overlaps(tmp_path, rng, tiny_oracle):
         max_consecutive_missing=5,
         fetch_ahead=1,
     )
-    orig_process = proc.sub.process
+    orig_process = proc.sub.process_deferred
     overlap_seen = []
 
     def wrapped(tar_path, txt_path, out_path):
@@ -225,10 +225,53 @@ def test_fetch_ahead_actually_overlaps(tmp_path, rng, tiny_oracle):
             overlap_seen.append(ev.wait(timeout=30))
         return orig_process(tar_path, txt_path, out_path)
 
-    proc.sub.process = wrapped
+    proc.sub.process_deferred = wrapped
     rep = proc.process()
     assert rep["processed"] == 2
     assert overlap_seen == [True], "fetch of sub-shard 1 never overlapped processing of 0"
+
+
+def test_subshard_completion_overlaps_next_dispatch(tmp_path, rng, tiny_oracle):
+    """The shard loop dispatches sub-shard k+1 BEFORE completing k (drain/
+    assemble/upload-queue), so k's tail drain overlaps k+1's decode and
+    dispatch — the cross-sub-shard half of the write-behind design. The
+    outputs must still be byte-identical to the eager path."""
+    root = build_corpus(str(tmp_path / "mirror"), rng, subshards=3)
+    proc = Yodas2ShardProcessor(
+        "en000",
+        LocalSource(root),
+        LocalHub(str(tmp_path / "hub")),
+        make_engine(tiny_oracle),
+        str(tmp_path / "work"),
+        str(tmp_path / "prog"),
+        max_subshards=10,
+        max_consecutive_missing=5,
+    )
+    events = []
+    orig = proc.sub.process_deferred
+
+    def wrapped(tar_path, txt_path, out_path):
+        sid = os.path.basename(tar_path).split(".")[0]
+        events.append(("dispatch", sid))
+        complete = orig(tar_path, txt_path, out_path)
+
+        def logged_complete():
+            events.append(("complete", sid))
+            return complete()
+
+        return logged_complete
+
+    proc.sub.process_deferred = wrapped
+    rep = proc.process()
+    assert rep["processed"] == 3
+    assert events == [
+        ("dispatch", "00000000"),
+        ("dispatch", "00000001"),
+        ("complete", "00000000"),
+        ("dispatch", "00000002"),
+        ("complete", "00000001"),
+        ("complete", "00000002"),
+    ]
 
 
 def test_fetch_ahead_failure_isolated(tmp_path, rng, tiny_oracle):

@@ -27,6 +27,7 @@ import shutil
 import subprocess
 import tarfile
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from typing import Dict, Iterator, List, Optional, Protocol, Tuple
 
 import numpy as np
@@ -250,6 +251,13 @@ class SubShardProcessor:
         self.sample_rate = sample_rate
         self.num_workers = num_workers  # decode prefetch threads (reference
         # ThreadPoolExecutor role, process_shard.py:690-717)
+        # optional SHARED single-thread writer executor (set by the shard
+        # loop): collections from consecutive sub-shards then serialize on
+        # one thread, which is what makes cross-sub-shard overlap safe —
+        # finish() closures of different engine calls must never run
+        # concurrently (the >60s streaming path shares carried-state
+        # encoders). None => each process() call owns a private writer.
+        self.writer: Optional[ThreadPoolExecutor] = None
 
     def _extract_dir_for(self, tar_path: str) -> str:
         return os.path.join(
@@ -383,6 +391,22 @@ class SubShardProcessor:
     def process(
         self, tar_path: str, text_json_path: str, output_path: str
     ) -> List[Dict]:
+        """Eager form of :meth:`process_deferred` (drain, assemble, and
+        clean up before returning)."""
+        return self.process_deferred(tar_path, text_json_path, output_path)()
+
+    def process_deferred(
+        self, tar_path: str, text_json_path: str, output_path: str
+    ):
+        """Decode, slice, and DISPATCH every entry group of one sub-shard,
+        returning a zero-arg ``complete()`` that drains the write-behind
+        queue, assembles the final output, cleans up, and returns the
+        entries. With a shared ``self.writer`` the shard loop calls
+        ``process_deferred`` on sub-shard k+1 BEFORE ``complete()`` on k,
+        so k's tail drain (a pipeline-depth of blocking tunnel RTTs, plus
+        serialization and assembly) overlaps k+1's decode and dispatch —
+        the last per-sub-shard barrier in the production path
+        (pipeline-vs-engine receipt, BENCHMARKS r5)."""
         extract_dir = self._extract_dir_for(tar_path)
         self._extract(tar_path, extract_dir)
         with open(text_json_path) as f:
@@ -434,8 +458,11 @@ class SubShardProcessor:
         # DISPATCHES the next group. The device dispatch stream stays
         # continuous across groups instead of paying a drain barrier per
         # group. One thread => appends stay ordered; errors surface at
-        # join (whole-sub-shard retry, same isolation as before).
-        writer = ThreadPoolExecutor(max_workers=1)
+        # join (whole-sub-shard retry, same isolation as before). A
+        # shard-loop-shared writer extends the same invariant across
+        # sub-shards (see process_deferred docstring).
+        own_writer = self.writer is None
+        writer = ThreadPoolExecutor(max_workers=1) if own_writer else self.writer
         write_futures: List = []
 
         def collect_and_write(complete) -> None:
@@ -470,25 +497,39 @@ class SubShardProcessor:
                     flush_group()
             if buf:
                 flush_group()
-        finally:
-            # drain the write queue even when encode raised (the partial
-            # stays a valid resume set); writer errors surface below only
-            # on the normal path so they can't mask an encode exception
-            writer.shutdown(wait=True)
-        for f in write_futures:
-            f.result()  # propagate writer-thread failures
-        out_ids = [e["audio_id"] for e in metadata]
-        with self.engine.stats.stage("host_assemble"):
-            atomic_write_text(
-                output_path, "[" + ", ".join(json_strs[a] for a in out_ids) + "]"
-            )
-        try:
-            os.unlink(partial_path)
-        except FileNotFoundError:
-            pass
-        shutil.rmtree(extract_dir, ignore_errors=True)
-        os.unlink(tar_path)
-        return [results_by_id[a] for a in out_ids]
+        except BaseException:
+            # drain the write queue even when decode/dispatch raised (the
+            # partial stays a valid resume set); writer errors are NOT
+            # raised here so they can't mask the original exception. A
+            # shared writer must survive for later sub-shards — wait on
+            # this call's futures instead of shutting it down.
+            if own_writer:
+                writer.shutdown(wait=True)
+            else:
+                futures_wait(write_futures)
+            raise
+
+        def complete() -> List[Dict]:
+            if own_writer:
+                writer.shutdown(wait=True)
+            else:
+                futures_wait(write_futures)
+            for f in write_futures:
+                f.result()  # propagate writer-thread failures
+            out_ids = [e["audio_id"] for e in metadata]
+            with self.engine.stats.stage("host_assemble"):
+                atomic_write_text(
+                    output_path, "[" + ", ".join(json_strs[a] for a in out_ids) + "]"
+                )
+            try:
+                os.unlink(partial_path)
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(extract_dir, ignore_errors=True)
+            os.unlink(tar_path)
+            return [results_by_id[a] for a in out_ids]
+
+        return complete
 
 
 # ---------------------------------------------------------------------------
@@ -630,6 +671,34 @@ class Yodas2ShardProcessor:
             logger.exception("sub-shard %s fetch/extract failed", sid)
             return sid, None, e
 
+    def _complete_one(self, item: Tuple, report: Dict) -> None:
+        """Drain + assemble + queue-for-upload one dispatched sub-shard
+        (the completion half of process_deferred). Failures keep the same
+        per-sub-shard isolation as before: mark failed, retry on restart."""
+        sid, complete, txt_path, out_path = item
+        try:
+            entries = complete()
+            os.unlink(txt_path)
+            # same completeness gate as is_json_complete, WITHOUT
+            # re-parsing the (potentially hundreds-of-MB) file just
+            # written — complete() returned the same entries (the helper
+            # stays for scan_and_queue_local's cold-start path)
+            if not entries or not all("codes" in e for e in entries):
+                # entries whose audio failed to load lack a codes field;
+                # validate-before-upload (process_shard.py:792-824) —
+                # the output stays local as the resume set and the
+                # sub-shard retries on restart instead of uploading a
+                # permanently incomplete JSON marked completed
+                raise RuntimeError("sub-shard output incomplete (failed entries)")
+            self._pending.append((sid, out_path, self._repo_path(sid)))
+            report["processed"] += 1
+            if len(self._pending) >= self.upload_batch_size:
+                report["uploaded"] += self._flush()
+        except Exception:  # noqa: BLE001 — per-subshard isolation, retried on restart
+            logger.exception("sub-shard %s failed", sid)
+            self.progress.mark_failed(sid)
+            report["failed"] += 1
+
     def process(self) -> Dict:
         report = {"processed": 0, "skipped": 0, "missing": 0, "failed": 0, "uploaded": 0}
         report["uploaded"] += 0 if not self.scan_and_queue_local() else self._flush()
@@ -642,35 +711,44 @@ class Yodas2ShardProcessor:
             workers=1 if self.fetch_ahead > 0 else 0,
             depth=self.fetch_ahead + 1,
         )
-        for sid, paths, err in fetched:
-            if err is not None:
-                self.progress.mark_failed(sid)
-                report["failed"] += 1
-                continue
-            tar_path, txt_path = paths
-            try:
-                out_path = os.path.join(self.work_dir, f"{sid}.out.json")
-                entries = self.sub.process(tar_path, txt_path, out_path)
-                os.unlink(txt_path)
-                # same completeness gate as is_json_complete, WITHOUT
-                # re-parsing the (potentially hundreds-of-MB) file just
-                # written — process() returned the same entries (the helper
-                # stays for scan_and_queue_local's cold-start path)
-                if not entries or not all("codes" in e for e in entries):
-                    # entries whose audio failed to load lack a codes field;
-                    # validate-before-upload (process_shard.py:792-824) —
-                    # the output stays local as the resume set and the
-                    # sub-shard retries on restart instead of uploading a
-                    # permanently incomplete JSON marked completed
-                    raise RuntimeError("sub-shard output incomplete (failed entries)")
-                self._pending.append((sid, out_path, self._repo_path(sid)))
-                report["processed"] += 1
-                if len(self._pending) >= self.upload_batch_size:
-                    report["uploaded"] += self._flush()
-            except Exception:  # noqa: BLE001 — per-subshard isolation, retried on restart
-                logger.exception("sub-shard %s failed", sid)
-                self.progress.mark_failed(sid)
-                report["failed"] += 1
+        # ONE writer thread shared across sub-shards: sub-shard k's tail
+        # drain + serialization + assembly (complete()) overlaps k+1's
+        # decode and dispatch, removing the per-sub-shard drain barrier
+        # (the residual pipeline-vs-engine gap, BENCHMARKS r5). A single
+        # thread serializes the finish() closures of consecutive engine
+        # calls, which the engine requires (shared streaming encoders).
+        writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ta-writer")
+        self.sub.writer = writer
+        pending_done: Optional[Tuple] = None  # dispatched, not yet completed
+        try:
+            for sid, paths, err in fetched:
+                if err is not None:
+                    self.progress.mark_failed(sid)
+                    report["failed"] += 1
+                    continue
+                tar_path, txt_path = paths
+                try:
+                    out_path = os.path.join(self.work_dir, f"{sid}.out.json")
+                    complete = self.sub.process_deferred(tar_path, txt_path, out_path)
+                except Exception:  # noqa: BLE001 — per-subshard isolation
+                    logger.exception("sub-shard %s failed", sid)
+                    self.progress.mark_failed(sid)
+                    report["failed"] += 1
+                    continue
+                if pending_done is not None:
+                    self._complete_one(pending_done, report)
+                pending_done = (sid, complete, txt_path, out_path)
+            if pending_done is not None:
+                self._complete_one(pending_done, report)
+                pending_done = None
+        finally:
+            if pending_done is not None:
+                # an abnormal exit (e.g. upload raise) with a sub-shard
+                # still dispatched: drain it so device buffers free and
+                # its partial stays a valid resume set
+                self._complete_one(pending_done, report)
+            self.sub.writer = None
+            writer.shutdown(wait=True)
         report["uploaded"] += self._flush()
         if report["failed"] == 0 and not self.progress.failed:
             # enumeration finished cleanly: mark the shard done so the

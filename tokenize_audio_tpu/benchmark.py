@@ -49,8 +49,8 @@ def _bench_engine_cfg():
 
     return EngineConfig(
         min_bucket_seconds=2.0,
-        bucket_growth=1.25,  # 17 buckets; with the {1..8}+mantissa-23 tail
-        # ladder this sims at padding efficiency 0.85 (NOTES r3)
+        bucket_growth=1.15,  # 26 buckets; won the r5 hardware A/B 5/5
+        # rounds over 1.25 (722x vs 680x medians, scripts/growth_probe.py)
         samples_per_batch=192 * 24_000,  # ~3.2 min of audio per call;
         # larger budgets measured slower (HBM pressure)
         max_batch_size=128,

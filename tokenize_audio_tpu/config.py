@@ -77,7 +77,14 @@ class EngineConfig:
     batch_size: int = 16
     max_chunk_seconds: float = 60.0
     min_bucket_seconds: float = 1.0
-    bucket_growth: float = 1.25
+    # 1.15 ≈ 26 buckets to 60 s: the r5 hardware A/B (interleaved, one
+    # process, scripts/growth_probe.py) measured 1.15 faster than 1.25 in
+    # 5/5 rounds (medians 722x vs 680x, padding efficiency 0.876 vs
+    # 0.849) once the deferred-drain engine stopped being transport-bound
+    # enough for padding waste to show through. The ~1.5x larger compiled
+    # program set is one-time per machine via the persistent compile
+    # cache (enable_compile_cache).
+    bucket_growth: float = 1.15
     sample_rate: int = MIMI_SAMPLE_RATE
     num_codebooks: int = NUM_CODEBOOKS
     # samples budget per device batch: short buckets get proportionally

@@ -596,6 +596,14 @@ def run_soak(
         progress("warm_pass")
         run_iter("warm")  # compiles; not counted
 
+        # fresh stats for the measured window so the cumulative per-stage
+        # wall table (engine stages = main-thread wall, host_* stages =
+        # summed worker-thread seconds that overlap encode) excludes the
+        # warm pass's compiles
+        from tokenize_audio_tpu.engine.metrics import EngineStats
+
+        engine.stats = EngineStats()
+
         t_start = time.monotonic()
         budget_end = t_start + minutes * 60
         iters = []
@@ -681,6 +689,9 @@ def run_soak(
                 "rt_max": max(rts),
                 "band_pct": round(100 * (max(rts) - min(rts)) / float(np.median(rts)), 1),
                 "transient_retries": engine.stats.transient_retries - retries_before,
+                "stage_seconds": {
+                    k: round(v, 3) for k, v in engine.stats.stage_seconds.items()
+                },
                 "error_count": n_errors,
                 "iteration_errors": errors,  # first 100 only
                 "last_error": last_error,  # survives the 100 cap

@@ -258,6 +258,10 @@ class SubShardProcessor:
         # concurrently (the >60s streaming path shares carried-state
         # encoders). None => each process() call owns a private writer.
         self.writer: Optional[ThreadPoolExecutor] = None
+        # processor-wide undrained write-behind groups (each pins its
+        # in-flight device batches until collected) — the back-pressure
+        # bound must span sub-shards when the writer is shared
+        self._undrained: List = []
 
     def _extract_dir_for(self, tar_path: str) -> str:
         return os.path.join(
@@ -480,14 +484,22 @@ class SubShardProcessor:
         def flush_group():
             nonlocal buf_samples
             # back-pressure: each queued group pins its undrained tail
-            # batches on device, so bound the queue before dispatching more
-            pending = [f for f in write_futures if not f.done()]
-            if len(pending) >= 3:
-                pending[0].result()
+            # batches on device, so bound the queue before dispatching
+            # more. The bound must count PROCESSOR-wide undrained groups,
+            # not just this call's: with the shared writer, sub-shard k
+            # can end dispatch with groups still queued while k+1's
+            # flush_group starts with an empty local list — counting only
+            # locally would double the pinned-device-buffer bound at
+            # every sub-shard boundary.
+            self._undrained[:] = [f for f in self._undrained if not f.done()]
+            if len(self._undrained) >= 3:
+                self._undrained[0].result()
             complete = self.process_entries_deferred(buf)  # dispatches now
             buf.clear()
             buf_samples = 0
-            write_futures.append(writer.submit(collect_and_write, complete))
+            fut = writer.submit(collect_and_write, complete)
+            write_futures.append(fut)
+            self._undrained.append(fut)
 
         try:
             for entry, audio24 in loaded:
@@ -512,10 +524,8 @@ class SubShardProcessor:
         def complete() -> List[Dict]:
             if own_writer:
                 writer.shutdown(wait=True)
-            else:
-                futures_wait(write_futures)
             for f in write_futures:
-                f.result()  # propagate writer-thread failures
+                f.result()  # blocks per future; propagates writer failures
             out_ids = [e["audio_id"] for e in metadata]
             with self.engine.stats.stage("host_assemble"):
                 atomic_write_text(
@@ -735,12 +745,18 @@ class Yodas2ShardProcessor:
                     self.progress.mark_failed(sid)
                     report["failed"] += 1
                     continue
-                if pending_done is not None:
-                    self._complete_one(pending_done, report)
-                pending_done = (sid, complete, txt_path, out_path)
+                # hand-off BEFORE completing the previous sub-shard: if a
+                # BaseException (Ctrl-C mid-drain) lands inside
+                # _complete_one, the finally must drain the NEWLY
+                # dispatched sub-shard, not re-run the interrupted
+                # completion (complete() is once-only: a second call
+                # re-unlinks the tar)
+                prev, pending_done = pending_done, (sid, complete, txt_path, out_path)
+                if prev is not None:
+                    self._complete_one(prev, report)
             if pending_done is not None:
-                self._complete_one(pending_done, report)
-                pending_done = None
+                prev, pending_done = pending_done, None
+                self._complete_one(prev, report)
         finally:
             if pending_done is not None:
                 # an abnormal exit (e.g. upload raise) with a sub-shard

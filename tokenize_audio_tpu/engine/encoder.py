@@ -966,6 +966,11 @@ class MimiEncoderEngine:
         self.last_autotune_drain = medians
         best = min(policies, key=lambda p: medians[p])
         set_policy(best)
+        if best != "threaded" and self._fetch_pool is not None:
+            # the probe's "threaded" passes lazily created the fetch pool;
+            # don't leave idle ta-fetch threads behind a fifo/ready winner
+            self._fetch_pool.shutdown(wait=True)
+            self._fetch_pool = None
         logger.info(
             "autotune_drain_policy picked %r (medians: %s)",
             best,
